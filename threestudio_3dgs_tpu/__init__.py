@@ -1,0 +1,23 @@
+"""threestudio_3dgs_tpu: a TPU-native differentiable Gaussian-splatting generation
+framework (JAX / XLA / Pallas), built from scratch with the capabilities of the
+`threestudio-3dgs` reference extension (see /root/repo/SURVEY.md).
+
+Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
+  ops/        -- L0: math core + Pallas rasterizer kernels (replaces CUDA
+                 diff-gaussian-rasterization + simple-knn)
+  models/     -- L2: Gaussian fields (static-capacity, masked densify/prune),
+                 spacetime/4D variants, SuGaR, PLY I/O, mesh extraction
+  renderers/  -- L3: rasterizer frontends (basic/advanced/background/normal/
+                 shading/spacetime/sugar), vmapped batch rendering
+  materials/  -- L4: shading materials
+  backgrounds/-- L4: learned backgrounds
+  guidance/   -- L5: score-distillation guidance (deterministic fake + SDS math)
+  data/       -- L6: camera/image/video samplers
+  systems/    -- L7: training orchestration (functional train steps)
+  parallel/   -- device-mesh sharding (camera/tile axes, psum gradient reduction)
+  utils/      -- config system (YAML + scheduled hyperparams), registry, saving
+"""
+
+__version__ = "0.1.0"
+
+from .utils.registry import register, find, registry  # noqa: F401

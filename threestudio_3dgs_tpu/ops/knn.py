@@ -1,0 +1,70 @@
+"""K-nearest-neighbor distances in pure JAX (TPU replacement for the CUDA
+`simple-knn` extension's `distCUDA2` and for pytorch3d's `knn_points`).
+
+The reference uses distCUDA2 only to initialize per-point scales from the mean
+squared 3-NN distance (reference geometry/gaussian_base.py:434-438), and
+knn_points for SuGaR neighborhood queries (reference utils/sugar_utils.py:248,
+geometry/sugar.py:646).
+
+Design: chunked brute force expressed as one big (chunk x N) distance matrix
+per scan step -- a matmul-shaped computation that XLA tiles onto the MXU via
+the |a-b|^2 = |a|^2 + |b|^2 - 2 a.b expansion.  Exact, static shapes, O(N^2)
+flops but MXU-rate; at the reference's point counts (<= 500k init points,
+16-NN over 200k for SuGaR) this is milliseconds on a TPU chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(
+    query: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    chunk: int = 4096,
+    exclude_self: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-nearest neighbors of `query` (M, D) among `points` (N, D).
+
+    Returns (sq_dists (M, k), indices (M, k)), nearest first.  With
+    `exclude_self=True` a zero-distance exact match is skipped (self-query),
+    matching simple-knn semantics.
+    """
+    m = query.shape[0]
+    kk = k + (1 if exclude_self else 0)
+    pad = (-m) % chunk
+    query_p = jnp.pad(query, ((0, pad), (0, 0)))
+    q_chunks = query_p.reshape(-1, chunk, query.shape[1])
+
+    pts_sq = jnp.sum(points * points, axis=-1)  # (N,)
+
+    def one_chunk(q):
+        # (chunk, N) squared distances via the MXU-friendly expansion
+        d2 = (
+            jnp.sum(q * q, axis=-1, keepdims=True)
+            - 2.0 * q @ points.T
+            + pts_sq[None, :]
+        )
+        d2 = jnp.maximum(d2, 0.0)
+        neg_top, idx = jax.lax.top_k(-d2, kk)
+        return -neg_top, idx
+
+    d2, idx = jax.lax.map(one_chunk, q_chunks)
+    d2 = d2.reshape(-1, kk)[:m]
+    idx = idx.reshape(-1, kk)[:m]
+    if exclude_self:
+        d2, idx = d2[:, 1:], idx[:, 1:]
+    return d2, idx
+
+
+def mean_knn_sq_dist(points: jnp.ndarray, k: int = 3, chunk: int = 4096) -> jnp.ndarray:
+    """distCUDA2 equivalent: mean squared distance to the k nearest neighbors
+    of each point (excluding itself).  Used for scale init
+    (reference geometry/gaussian_base.py:434-437)."""
+    d2, _ = knn(points, points, k=k, chunk=chunk, exclude_self=True)
+    return jnp.mean(d2, axis=-1)
