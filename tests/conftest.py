@@ -12,6 +12,11 @@ if not os.environ.get("RUN_ON_TPU"):
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+    # is honored.  Must happen before any backend initialization.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

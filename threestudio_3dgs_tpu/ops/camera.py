@@ -20,6 +20,7 @@ rasterizer:
 from __future__ import annotations
 
 import dataclasses
+import jax
 import math
 from typing import Tuple
 
@@ -110,9 +111,13 @@ def camera_from_c2w(
     c2w_cv = convert_gl_to_cv(jnp.asarray(c2w, jnp.float32))
     w2c = invert_rigid(c2w_cv)
     proj = projection_matrix(znear, zfar, fovx, fovy)
+    # 4x4 camera matrices must not go through the MXU's bf16 default path:
+    # the projection constants (e.g. zfar/(zfar-znear)=1.001) round to 1.0
+    # and corrupt depth.  Force full f32 precision; it is a 4x4, cost-free.
+    full_proj = jnp.matmul(proj, w2c, precision=jax.lax.Precision.HIGHEST)
     return Camera(
         w2c=w2c,
-        full_proj=proj @ w2c,
+        full_proj=full_proj,
         campos=c2w_cv[:3, 3],
         tanfovx=jnp.tan(fovx / 2.0),
         tanfovy=jnp.tan(fovy / 2.0),

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+@partial(jax.jit, static_argnames=("k", "chunk", "exclude_self"))
 def knn(
     query: jnp.ndarray,
     points: jnp.ndarray,
