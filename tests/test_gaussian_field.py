@@ -1,0 +1,251 @@
+"""Gaussian-field tests: PLY round-trip, Adam parity vs torch (CPU), masked
+clone/split/prune semantics vs the reference's resize-based behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from threestudio_3dgs_tpu.models import ply_io
+from threestudio_3dgs_tpu.models.gaussian_field import (
+    GaussianField,
+    GaussianFieldConfig,
+    GaussianParams,
+    accumulate_stats,
+    apply_gradients,
+    cap_prune_op,
+    densify_op,
+    get_opacity,
+    get_scaling,
+    init_state,
+    prune_op,
+    reset_opacity_op,
+)
+from threestudio_3dgs_tpu.models.optim import adam_update, init_adam
+
+
+def small_cfg(**kw):
+    defaults = dict(init_num_pts=50, max_num=200, capacity=128, sh_degree=0)
+    defaults.update(kw)
+    return GaussianFieldConfig(**defaults)
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path, rng):
+        n, deg = 17, 2
+        k_rest = (deg + 1) ** 2 - 1
+        arrs = dict(
+            xyz=rng.normal(size=(n, 3)).astype(np.float32),
+            features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+            features_rest=rng.normal(size=(n, k_rest, 3)).astype(np.float32),
+            opacity=rng.normal(size=(n, 1)).astype(np.float32),
+            scaling=rng.normal(size=(n, 3)).astype(np.float32),
+            rotation=rng.normal(size=(n, 4)).astype(np.float32),
+        )
+        path = str(tmp_path / "g.ply")
+        ply_io.save_gaussian_ply(path, **arrs)
+        out = ply_io.load_gaussian_ply(path, sh_degree=deg)
+        for k in arrs:
+            np.testing.assert_allclose(out[k], arrs[k], atol=1e-6, err_msg=k)
+
+    def test_header_matches_reference_schema(self, tmp_path):
+        # attribute order must match reference construct_list_of_attributes
+        names = ply_io.attribute_names(1)
+        assert names[:6] == ["x", "y", "z", "nx", "ny", "nz"]
+        assert names[6:9] == ["f_dc_0", "f_dc_1", "f_dc_2"]
+        assert names[9:18] == [f"f_rest_{i}" for i in range(9)]
+        assert names[18] == "opacity"
+        assert names[19:22] == ["scale_0", "scale_1", "scale_2"]
+        assert names[22:] == ["rot_0", "rot_1", "rot_2", "rot_3"]
+
+
+class TestAdam:
+    def test_matches_torch_adam(self, rng):
+        import torch
+
+        n = 32
+        p0 = rng.normal(size=(n, 3)).astype(np.float32)
+        grads = [rng.normal(size=(n, 3)).astype(np.float32) for _ in range(5)]
+        lr = 0.01
+
+        tp = torch.nn.Parameter(torch.tensor(p0))
+        opt = torch.optim.Adam([tp], lr=lr, eps=1e-15)
+        for g in grads:
+            tp.grad = torch.tensor(g)
+            opt.step()
+
+        params = {"x": jnp.asarray(p0)}
+        state = init_adam(params)
+        lrs = {"x": jnp.float32(lr)}
+        for g in grads:
+            params, state = adam_update(params, {"x": jnp.asarray(g)}, state, lrs)
+        np.testing.assert_allclose(
+            np.asarray(params["x"]), tp.detach().numpy(), atol=1e-5
+        )
+
+
+class TestFieldInit:
+    def test_random_init(self):
+        cfg = small_cfg()
+        state = init_state(cfg, seed=0)
+        assert int(state.n_alive) == 50
+        assert state.params.xyz.shape == (128, 3)
+        # all alive points inside the init radius
+        r = np.linalg.norm(np.asarray(state.params.xyz)[:50], axis=-1)
+        assert r.max() <= cfg.pc_init_radius + 1e-5
+        np.testing.assert_allclose(
+            np.asarray(get_opacity(state.params))[:50], 0.1, atol=1e-5
+        )
+
+    def test_ply_init(self, tmp_path, rng):
+        cfg = small_cfg()
+        state = init_state(cfg, seed=0)
+        field = GaussianField(cfg)
+        path = str(tmp_path / "s.ply")
+        field.save_ply(state, path)
+        cfg2 = small_cfg(geometry_convert_from=path)
+        state2 = init_state(cfg2)
+        assert int(state2.n_alive) == 50
+        np.testing.assert_allclose(
+            np.asarray(state2.params.xyz)[:50],
+            np.asarray(state.params.xyz)[:50],
+            atol=1e-6,
+        )
+
+
+class TestStructuralOps:
+    def _state(self, n=50):
+        return init_state(small_cfg(), seed=0)
+
+    def test_prune_by_opacity(self):
+        state = self._state()
+        # force some opacities low
+        op = np.array(state.params.opacity)
+        op[:10] = -10.0  # sigmoid ~ 0
+        state = state.replace(params=state.params.replace(opacity=jnp.asarray(op)))
+        out = prune_op(state, jnp.float32(0.005))
+        assert int(out.n_alive) == 40
+        assert not bool(out.alive[0])
+
+    def test_reset_opacity(self):
+        state = self._state()
+        out = reset_opacity_op(state)
+        np.testing.assert_allclose(
+            np.asarray(get_opacity(out.params))[:50], 0.09, atol=1e-5
+        )
+        assert float(jnp.sum(jnp.abs(out.adam.mu.opacity))) == 0.0
+
+    def test_clone_small_hot_points(self):
+        state = self._state()
+        # small scales (default init is small), hot gradients on 5 points
+        accum = np.zeros(128, np.float32)
+        accum[:5] = 10.0
+        denom = np.zeros(128, np.float32)
+        denom[:5] = 1.0
+        state = state.replace(
+            xyz_grad_accum=jnp.asarray(accum), denom=jnp.asarray(denom)
+        )
+        out = densify_op(
+            state, jax.random.PRNGKey(0), jnp.float32(0.01), jnp.float32(1e9)
+        )
+        # split_thresh huge -> all hot points clone
+        assert int(out.n_alive) == 55
+        # clones are exact copies placed in free slots
+        np.testing.assert_allclose(
+            np.asarray(out.params.xyz)[50:55], np.asarray(state.params.xyz)[:5]
+        )
+        # stats reset afterwards
+        assert float(jnp.sum(out.xyz_grad_accum)) == 0.0
+
+    def test_split_large_hot_points(self):
+        state = self._state()
+        big = np.array(state.params.scaling)
+        big[:3] = np.log(5.0)  # large scale -> split
+        accum = np.zeros(128, np.float32)
+        accum[:3] = 10.0
+        denom = np.ones(128, np.float32)
+        state = state.replace(
+            params=state.params.replace(scaling=jnp.asarray(big)),
+            xyz_grad_accum=jnp.asarray(accum),
+            denom=jnp.asarray(denom),
+        )
+        out = densify_op(
+            state, jax.random.PRNGKey(0), jnp.float32(0.01), jnp.float32(0.02)
+        )
+        # each split parent -> 2 children, net +1 per parent
+        assert int(out.n_alive) == 53
+        # children have shrunken scales: exp(new) = 5/1.6
+        np.testing.assert_allclose(
+            np.asarray(get_scaling(out.params))[:3], 5.0 / 1.6, rtol=1e-5
+        )
+        # parent position was resampled (not equal to original)
+        assert not np.allclose(
+            np.asarray(out.params.xyz)[:3], np.asarray(state.params.xyz)[:3]
+        )
+
+    def test_capacity_overflow_drops(self):
+        cfg = small_cfg(init_num_pts=100, capacity=110)
+        state = init_state(cfg, seed=0)
+        accum = np.full(110, 10.0, np.float32)
+        state = state.replace(
+            xyz_grad_accum=jnp.asarray(accum), denom=jnp.ones(110)
+        )
+        out = densify_op(
+            state, jax.random.PRNGKey(0), jnp.float32(0.01), jnp.float32(1e9)
+        )
+        # wanted 100 clones, only 10 slots -> capacity full, no corruption
+        assert int(out.n_alive) == 110
+
+    def test_cap_prune(self):
+        state = self._state()
+        out = cap_prune_op(state, jax.random.PRNGKey(0), jnp.int32(20))
+        assert int(out.n_alive) == 20
+
+    def test_accumulate_stats(self):
+        state = self._state()
+        cap = state.capacity
+        radii = jnp.ones((2, cap)) * jnp.array([[3.0], [7.0]])
+        vis = jnp.zeros((2, cap), bool).at[:, :10].set(True)
+        g = jnp.ones((2, cap)) * 0.5
+        out = accumulate_stats(state, radii, vis, g)
+        assert float(out.max_radii2d[0]) == 7.0
+        assert float(out.xyz_grad_accum[5]) == 1.0
+        assert float(out.denom[5]) == 2.0
+        assert float(out.denom[20]) == 0.0
+
+    def test_apply_gradients_dead_rows_frozen(self):
+        state = self._state()
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        lrs = jax.tree_util.tree_map(
+            lambda _: jnp.float32(0.1), state.params,
+        )
+        out = apply_gradients(state, grads, lrs)
+        # alive rows moved
+        assert not np.allclose(
+            np.asarray(out.params.xyz)[:50], np.asarray(state.params.xyz)[:50]
+        )
+        # dead rows bit-identical
+        np.testing.assert_array_equal(
+            np.asarray(out.params.xyz)[50:], np.asarray(state.params.xyz)[50:]
+        )
+
+
+class TestUpdateStatesGating:
+    def test_interval_gating(self):
+        cfg = small_cfg(
+            densify_from_iter=10,
+            densify_until_iter=100,
+            densification_interval=10,
+            prune_from_iter=10,
+            prune_until_iter=100,
+            prune_interval=10,
+        )
+        field = GaussianField(cfg)
+        state = field.init_state()
+        key = jax.random.PRNGKey(0)
+        _, changed = field.update_states(state, 15, key)
+        assert not changed
+        _, changed = field.update_states(state, 20, key)
+        assert changed
+        _, changed = field.update_states(state, 10, key)  # boundary excluded
+        assert not changed
