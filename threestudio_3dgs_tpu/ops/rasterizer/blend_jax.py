@@ -22,7 +22,7 @@ Algorithm (per tile of `tile_size`^2 pixels, pairs in depth order):
 
 Per-pair feature layout (F = 6 + C columns):
   [x, y, conic_a, conic_b, conic_c, opacity, color_0 .. color_{C-1}]
-Output: (num_tiles, C+1, npix); channel C is the blended weight sum
+Output: (num_tiles, npix, C+1); channel C is the blended weight sum
 (= alpha map = 1 - final transmittance).
 """
 
@@ -82,7 +82,7 @@ def blend_forward(
     tile_size: int,
     n_channels: int,
 ) -> jnp.ndarray:
-    """Returns (num_tiles, C+1, npix)."""
+    """Returns (num_tiles, npix, C+1)."""
     npix = tile_size * tile_size
     n_out = n_channels + 1
     feats_p = jnp.pad(pair_feats, ((0, CHUNK), (0, 0)))
@@ -108,11 +108,11 @@ def blend_forward(
                 [feats[:, 6 : 6 + n_channels], jnp.ones((CHUNK, 1))], axis=1
             )
             out = out + jnp.einsum(
-                "kc,kp->cp", colors_ext, w, precision=jax.lax.Precision.HIGHEST
+                "kc,kp->pc", colors_ext, w, precision=jax.lax.Precision.HIGHEST
             )
             return base + CHUNK, cum_incl[-1], out
 
-        init = (start, jnp.ones(npix), jnp.zeros((n_out, npix)))
+        init = (start, jnp.ones(npix), jnp.zeros((npix, n_out)))
         _, _, out = jax.lax.while_loop(cond, body, init)
         return out
 
@@ -127,8 +127,8 @@ def blend_forward(
 def blend_backward(
     pair_feats: jnp.ndarray,  # (P, F)
     tile_ranges: jnp.ndarray,
-    out: jnp.ndarray,  # (T, C+1, npix) forward output
-    g_out: jnp.ndarray,  # (T, C+1, npix) incoming cotangent
+    out: jnp.ndarray,  # (T, npix, C+1) forward output
+    g_out: jnp.ndarray,  # (T, npix, C+1) incoming cotangent
     grid_x: int,
     grid_y: int,
     tile_size: int,
@@ -143,7 +143,7 @@ def blend_backward(
 
     def one_tile(grads, tile_idx, start, end, out_t, g_t):
         px, py = _tile_pixel_coords(tile_idx, grid_x, tile_size)
-        u_tot = jnp.sum(g_t * out_t, axis=0)  # (npix,)
+        u_tot = jnp.sum(g_t * out_t, axis=1)  # (npix,)
 
         def cond(carry):
             base, raw, _, _ = carry
@@ -165,7 +165,7 @@ def blend_backward(
             )
             # u_i = <color_i, g> per pixel: (CHUNK, npix) via MXU
             u = jnp.einsum(
-                "kc,cp->kp", colors_ext, g_t, precision=jax.lax.Precision.HIGHEST
+                "kc,pc->kp", colors_ext, g_t, precision=jax.lax.Precision.HIGHEST
             )
             uw = u * w
             prefix_inc = prefix[None, :] + jnp.cumsum(uw, axis=0)
@@ -192,7 +192,7 @@ def blend_backward(
             d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1)
             # d colors: (CHUNK, C) = w @ g^T restricted to color channels
             d_colors = jnp.einsum(
-                "kp,cp->kc", w, g_t[:n_channels], precision=jax.lax.Precision.HIGHEST
+                "kp,pc->kc", w, g_t[:, :n_channels], precision=jax.lax.Precision.HIGHEST
             )
             d_feats = jnp.concatenate(
                 [
@@ -232,10 +232,10 @@ def blend_backward(
 def tiles_to_image(
     tiled: jnp.ndarray, grid_x: int, grid_y: int, tile_size: int, height: int, width: int
 ) -> jnp.ndarray:
-    """(T, C, npix) -> (H, W, C), cropping tile padding."""
-    c = tiled.shape[1]
-    img = tiled.reshape(grid_y, grid_x, c, tile_size, tile_size)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(
+    """(T, npix, C) -> (H, W, C), cropping tile padding."""
+    c = tiled.shape[2]
+    img = tiled.reshape(grid_y, grid_x, tile_size, tile_size, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
         grid_y * tile_size, grid_x * tile_size, c
     )
     return img[:height, :width]

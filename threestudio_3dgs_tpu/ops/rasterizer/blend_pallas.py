@@ -1,0 +1,410 @@
+"""Pallas TPU kernels for the tile blend (forward + backward).
+
+Same numerics as `blend_jax.py` (parity-tested), mapped onto the TPU kernel
+model with a *blocked pair layout*:
+
+  * pair features are stored (num_blocks, F, 128): pairs ride the lane
+    dimension in aligned blocks of 128, so every HBM->VMEM DMA is a whole
+    (F, 128) block -- Mosaic requires lane-dim slices aligned to 128, which
+    rules out row-sliced (chunk, F) copies;
+  * inside a program, pixels ride sublanes: the big arrays are
+    (npix = tile_size^2, 128), transmittance scans are manual Hillis-Steele
+    rolls along lanes, channel accumulations and the backward contractions
+    are MXU dot_generals with f32 accumulation;
+  * grid = one program per image tile; a tile's pair range [start, end) maps
+    to blocks floor(start/128) .. ceil(end/128); lanes outside the range are
+    masked.  Adjacent tiles can share a boundary block, so the backward does
+    a masked read-merge-write: lanes before `start` keep the previous tile's
+    values (TPU grid programs run sequentially, and every DMA is waited);
+  * forward early-terminates its while-loop once every pixel's raw
+    transmittance drops below 1e-4; the backward keeps looping to zero-fill
+    remaining rows but skips the math via the live flag.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blend_jax import ALPHA_MAX, ALPHA_MIN, T_EPS
+
+BLOCK = 128  # pairs per block (lane dim)
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _lane_scan(x, op, identity):
+    """Inclusive Hillis-Steele scan along axis 1 (lanes)."""
+    n = x.shape[1]
+    lanes = _lane_iota(x.shape)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, shift, axis=1)
+        contrib = jnp.where(lanes >= shift, rolled, identity)
+        x = op(x, contrib)
+        shift *= 2
+    return x
+
+
+def _cumprod_lane(x):
+    return _lane_scan(x, jnp.multiply, 1.0)
+
+
+def _cumsum_lane(x):
+    return _lane_scan(x, jnp.add, 0.0)
+
+
+def _pixel_coords(tile_idx, grid_x: int, tile_size: int, npix: int):
+    """Pixel coordinates as (npix, 1) columns."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    tx = tile_idx % grid_x
+    ty = tile_idx // grid_x
+    px = (tx * tile_size + row % tile_size).astype(jnp.float32)
+    py = (ty * tile_size + row // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def _block_alpha(feats, px, py, pmask):
+    """feats: (F, BLOCK); px/py: (npix, 1); pmask: (1, BLOCK).
+    Returns (alpha, gauss, dx, dy, unclamped), all (npix, BLOCK)."""
+    x = feats[0:1, :]
+    y = feats[1:2, :]
+    ca = feats[2:3, :]
+    cb = feats[3:4, :]
+    cc = feats[4:5, :]
+    opa = feats[5:6, :]
+    dx = px - x
+    dy = py - y
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    gauss = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = opa * gauss
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & pmask
+    alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_MAX), 0.0)
+    unclamped = ok & (opa * gauss < ALPHA_MAX)
+    return alpha, gauss, dx, dy, unclamped
+
+
+def _pad8(n: int) -> int:
+    """DMAs whose sublane extent is not a multiple of the f32 tile (8) fault
+    at runtime on TPU; pad feature/channel dims up front."""
+    return (n + 7) // 8 * 8
+
+
+def _to_blocks(pair_feats: jnp.ndarray):
+    """(P, F) -> (NB, F8, BLOCK) with one extra zero block of headroom."""
+    p, f = pair_feats.shape
+    nb = (p + BLOCK - 1) // BLOCK + 1
+    padded = jnp.pad(pair_feats, ((0, nb * BLOCK - p), (0, _pad8(f) - f)))
+    return padded.reshape(nb, BLOCK, _pad8(f)).transpose(0, 2, 1)
+
+
+def _from_blocks(blocked: jnp.ndarray, p: int, f: int):
+    nb, f8, _ = blocked.shape
+    return blocked.transpose(0, 2, 1).reshape(nb * BLOCK, f8)[:p, :f]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    ranges_ref,  # SMEM (T+1,) scalar prefetch
+    feats_hbm,  # ANY (NB, F, BLOCK)
+    out_ref,  # VMEM (1, npix, C1)
+    scratch,  # VMEM (F, BLOCK)
+    sem,  # DMA sem
+    *,
+    grid_x: int,
+    tile_size: int,
+    n_channels: int,
+):
+    npix = tile_size * tile_size
+    t = pl.program_id(0)
+    start = ranges_ref[t]
+    end = ranges_ref[t + 1]
+    px, py = _pixel_coords(t, grid_x, tile_size, npix)
+    lane = _lane_iota((1, BLOCK))
+
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    b0 = start // BLOCK
+    b1 = pl.cdiv(end, BLOCK)
+
+    def cond(carry):
+        b, raw = carry
+        return jnp.logical_and(b < b1, jnp.max(raw) >= T_EPS)
+
+    def body(carry):
+        b, raw = carry
+        copy = pltpu.make_async_copy(feats_hbm.at[b], scratch, sem)
+        copy.start()
+        copy.wait()
+        feats = scratch[...]
+        gid = b * BLOCK + lane
+        pmask = jnp.logical_and(gid >= start, gid < end)  # (1, BLOCK)
+        alpha, _, _, _, _ = _block_alpha(feats, px, py, pmask)
+        om = 1.0 - alpha
+        cum_incl = raw * _cumprod_lane(om)  # (npix, BLOCK)
+        include = cum_incl >= T_EPS
+        rolled = pltpu.roll(cum_incl, 1, axis=1)
+        cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
+        w = jnp.where(include, alpha * cum_excl, 0.0)
+        colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
+        acc = jax.lax.dot_general(
+            w,
+            colors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (npix, C)
+        out_ref[0, :, 0:n_channels] += acc
+        out_ref[0, :, n_channels : n_channels + 1] += jnp.sum(
+            w, axis=1, keepdims=True
+        )
+        return b + 1, cum_incl[:, BLOCK - 1 : BLOCK]
+
+    jax.lax.while_loop(cond, body, (b0, jnp.ones((npix, 1), jnp.float32)))
+
+
+def blend_forward_pallas(
+    pair_feats: jnp.ndarray,  # (P, F)
+    tile_ranges: jnp.ndarray,  # (T+1,)
+    grid_x: int,
+    grid_y: int,
+    tile_size: int,
+    n_channels: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    npix = tile_size * tile_size
+    num_tiles = grid_x * grid_y
+    n_out = n_channels + 1
+    blocked = _to_blocks(pair_feats)
+    f8 = blocked.shape[1]
+    n_out8 = _pad8(n_out)
+
+    kernel = functools.partial(
+        _fwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, npix, n_out8), lambda t, ranges: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((f8, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, npix, n_out8), jnp.float32),
+        interpret=interpret,
+    )(tile_ranges, blocked)
+    return out[..., :n_out]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    ranges_ref,  # SMEM (T+1,)
+    feats_hbm,  # ANY (NB, F, BLOCK)
+    out_ref,  # VMEM (1, npix, C1) forward output
+    g_ref,  # VMEM (1, npix, C1) cotangent
+    dfeats_hbm,  # ANY out (NB, F, BLOCK)
+    scratch,  # VMEM (F, BLOCK)
+    dscratch,  # VMEM (F, BLOCK)
+    merge,  # VMEM (F, BLOCK) previous contents of a shared boundary block
+    sem_in,
+    sem_merge,
+    sem_out,
+    *,
+    grid_x: int,
+    tile_size: int,
+    n_channels: int,
+):
+    npix = tile_size * tile_size
+    t = pl.program_id(0)
+    start = ranges_ref[t]
+    end = ranges_ref[t + 1]
+    px, py = _pixel_coords(t, grid_x, tile_size, npix)
+    lane = _lane_iota((1, BLOCK))
+
+    out_full = out_ref[0]  # (npix, C1)
+    g_full = g_ref[0]
+    u_tot = jnp.sum(g_full * out_full, axis=1, keepdims=True)  # (npix, 1)
+    g_colors = g_ref[0, :, 0:n_channels]  # (npix, C)
+    g_alpha = g_ref[0, :, n_channels : n_channels + 1]  # (npix, 1)
+
+    b0 = start // BLOCK
+    b1 = pl.cdiv(end, BLOCK)
+
+    def cond(carry):
+        b, _, _ = carry
+        return b < b1
+
+    def body(carry):
+        b, raw, prefix = carry
+        copy = pltpu.make_async_copy(feats_hbm.at[b], scratch, sem_in)
+        copy.start()
+        gid = b * BLOCK + lane
+        # boundary block shared with the previous tile: fetch its rows so the
+        # merge below preserves them (programs run sequentially, DMAs waited)
+        shares_prev = jnp.logical_and(b == b0, start % BLOCK != 0)
+
+        @pl.when(shares_prev)
+        def _():
+            rd = pltpu.make_async_copy(dfeats_hbm.at[b], merge, sem_merge)
+            rd.start()
+            rd.wait()
+
+        @pl.when(jnp.logical_not(shares_prev))
+        def _():
+            merge[...] = jnp.zeros(merge.shape, merge.dtype)
+
+        copy.wait()
+        feats = scratch[...]
+        live = jnp.max(raw) >= T_EPS
+
+        pmask = jnp.logical_and(gid >= start, gid < end)
+        alpha, gauss, dx, dy, unclamped = _block_alpha(feats, px, py, pmask)
+        om = 1.0 - alpha
+        cum_incl = raw * _cumprod_lane(om)
+        include = cum_incl >= T_EPS
+        rolled = pltpu.roll(cum_incl, 1, axis=1)
+        cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
+        w = jnp.where(include, alpha * cum_excl, 0.0)
+
+        colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
+        # u_i = <colors_i, g> + g_alpha : (npix, BLOCK) via MXU
+        u = (
+            jax.lax.dot_general(
+                g_colors,
+                colors,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + g_alpha
+        )
+        uw = u * w
+        prefix_inc = prefix + _cumsum_lane(uw)
+        suffix = u_tot - prefix_inc
+
+        d_alpha = jnp.where(
+            include, u * cum_excl - suffix / jnp.maximum(om, 1e-6), 0.0
+        )
+        d_gauss_term = jnp.where(unclamped, d_alpha, 0.0)
+        opa = feats[5:6, :]
+        d_power = opa * gauss * d_gauss_term
+        keep = jnp.where(jnp.logical_and(pmask, live), 1.0, 0.0)  # (1, BLOCK)
+        d_opa = jnp.sum(gauss * d_gauss_term, axis=0, keepdims=True)
+        ca = feats[2:3, :]
+        cb = feats[3:4, :]
+        cc = feats[4:5, :]
+        d_dx = d_power * (-(ca * dx + cb * dy))
+        d_dy = d_power * (-(cc * dy + cb * dx))
+        d_x = -jnp.sum(d_dx, axis=0, keepdims=True)
+        d_y = -jnp.sum(d_dy, axis=0, keepdims=True)
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        d_colors = jax.lax.dot_general(
+            g_colors,
+            w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (C, BLOCK)
+
+        dscratch[0:1, :] = d_x * keep + merge[0:1, :]
+        dscratch[1:2, :] = d_y * keep + merge[1:2, :]
+        dscratch[2:3, :] = d_ca * keep + merge[2:3, :]
+        dscratch[3:4, :] = d_cb * keep + merge[3:4, :]
+        dscratch[4:5, :] = d_cc * keep + merge[4:5, :]
+        dscratch[5:6, :] = d_opa * keep + merge[5:6, :]
+        dscratch[6 : 6 + n_channels, :] = (
+            d_colors * keep + merge[6 : 6 + n_channels, :]
+        )
+        wcopy = pltpu.make_async_copy(dscratch, dfeats_hbm.at[b], sem_out)
+        wcopy.start()
+        wcopy.wait()
+
+        return b + 1, cum_incl[:, BLOCK - 1 : BLOCK], prefix_inc[:, BLOCK - 1 : BLOCK]
+
+    jax.lax.while_loop(
+        cond,
+        body,
+        (b0, jnp.ones((npix, 1), jnp.float32), jnp.zeros((npix, 1), jnp.float32)),
+    )
+
+
+def blend_backward_pallas(
+    pair_feats: jnp.ndarray,
+    tile_ranges: jnp.ndarray,
+    out: jnp.ndarray,  # (T, npix, C1)
+    g_out: jnp.ndarray,
+    grid_x: int,
+    grid_y: int,
+    tile_size: int,
+    n_channels: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    npix = tile_size * tile_size
+    num_tiles = grid_x * grid_y
+    n_out = n_channels + 1
+    p_total, f_dim = pair_feats.shape
+    blocked = _to_blocks(pair_feats)
+    nb, f8, _ = blocked.shape
+    n_out8 = _pad8(n_out)
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, n_out8 - n_out)))
+    g_out = jnp.pad(g_out, ((0, 0), (0, 0), (0, n_out8 - n_out)))
+
+    kernel = functools.partial(
+        _bwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, npix, n_out8), lambda t, ranges: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, npix, n_out8), lambda t, ranges: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((f8, BLOCK), jnp.float32),
+            pltpu.VMEM((f8, BLOCK), jnp.float32),
+            pltpu.VMEM((f8, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    d_blocked = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, f8, BLOCK), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_ranges, blocked, out, g_out)
+    d_feats = _from_blocks(d_blocked, p_total, f_dim)
+    n_pairs = tile_ranges[-1]
+    valid = jnp.arange(p_total, dtype=jnp.int32) < n_pairs
+    return jnp.where(valid[:, None], d_feats, 0.0)
