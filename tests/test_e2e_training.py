@@ -1,0 +1,111 @@
+"""End-to-end training smoke tests (SURVEY.md section 4, level 3): N-step
+runs per config family with deterministic fake guidance -- M3's minimum
+viable milestone: the gaussian_splatting workload runs end to end."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from threestudio_3dgs_tpu.utils.config import load_config
+from threestudio_3dgs_tpu.trainer import Trainer
+
+CONFIG = os.path.join(
+    os.path.dirname(__file__), "..", "threestudio_3dgs_tpu", "configs",
+    "gaussian_splatting.yaml",
+)
+
+SMOKE_OVERRIDES = [
+    "trainer.max_steps=8",
+    "trainer.val_check_interval=8",
+    "data.width=64",
+    "data.height=64",
+    "data.eval_height=64",
+    "data.eval_width=64",
+    "data.batch_size=2",
+    "data.n_val_views=1",
+    "data.n_test_views=4",
+    "system.geometry.init_num_pts=256",
+    "system.geometry.max_num=1024",
+    "system.geometry.capacity=1536",
+    "system.geometry.densify_from_iter=2",
+    "system.geometry.densification_interval=4",
+    "system.geometry.prune_from_iter=2",
+    "system.geometry.prune_interval=4",
+    "system.renderer.tile_size=16",
+    "system.renderer.max_pairs=65536",
+    "system.renderer.impl=jax",
+    "system.guidance_type=fake-sds-guidance",
+    "system.guidance={target_color: [0.8, 0.2, 0.2], guidance_scale: 3.0}",
+    "checkpoint.every_n_train_steps=8",
+]
+
+
+class TestEndToEnd:
+    def test_gaussian_splatting_smoke(self, tmp_path):
+        cfg = load_config(
+            CONFIG, SMOKE_OVERRIDES + [f"exp_root_dir={tmp_path}"]
+        )
+        trainer = Trainer(cfg)
+        state = trainer.fit()
+        # losses were logged and are finite
+        assert len(trainer.metrics_log) > 0
+        for row in trainer.metrics_log:
+            assert np.isfinite(row["train/loss_total"]), row
+        # gaussians still alive, stats accumulated then consumed
+        assert int(state.gauss.n_alive) > 0
+        # validation image written
+        save_dir = os.path.join(trainer.save_dir, "save")
+        assert any(f.endswith(".png") for f in os.listdir(save_dir))
+        # checkpoint round-trip
+        ckpt = os.path.join(trainer.save_dir, "ckpts", "last.ckpt.npz")
+        assert os.path.exists(ckpt)
+        from threestudio_3dgs_tpu.utils.ckpt import load_checkpoint
+
+        state2, step2 = load_checkpoint(ckpt)
+        assert step2 == 8
+        np.testing.assert_allclose(
+            np.asarray(state2.gauss.params.xyz),
+            np.asarray(state.gauss.params.xyz),
+        )
+
+    def test_training_moves_toward_target(self, tmp_path):
+        # with MSE guidance toward red, renders should get redder
+        cfg = load_config(
+            CONFIG,
+            SMOKE_OVERRIDES
+            + [
+                f"exp_root_dir={tmp_path}",
+                "trainer.max_steps=30",
+                "trainer.val_check_interval=1000",
+                "system.guidance_type=fake-mse-guidance",
+                "system.loss.lambda_sds=1.0",
+                "system.loss.lambda_tv_loss=0.0",
+                "system.loss.lambda_depth_tv_loss=0.0",
+                "system.loss.lambda_position=0.0",
+                "system.geometry.densify_from_iter=100",
+                "system.geometry.prune_from_iter=100",
+            ],
+        )
+        trainer = Trainer(cfg)
+        trainer.fit()
+        first = trainer.metrics_log[0]["train/loss_sds"]
+        last = trainer.metrics_log[-1]["train/loss_sds"]
+        assert last < first * 0.9, (first, last)
+
+    def test_test_and_export(self, tmp_path):
+        cfg = load_config(
+            CONFIG,
+            SMOKE_OVERRIDES
+            + [f"exp_root_dir={tmp_path}", "trainer.max_steps=2",
+               "trainer.val_check_interval=1000"],
+        )
+        trainer = Trainer(cfg)
+        trainer.fit()
+        trainer.test()
+        ply = os.path.join(trainer.save_dir, "save", "point_cloud.ply")
+        assert os.path.exists(ply)
+        trainer.export()
+        export_dir = os.path.join(trainer.save_dir, "save", "export")
+        assert os.path.exists(os.path.join(export_dir, "model.ply"))

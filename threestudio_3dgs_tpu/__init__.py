@@ -21,3 +21,15 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 __version__ = "0.1.0"
 
 from .utils.registry import register, find, registry  # noqa: F401
+
+# importing subpackages triggers component registration (the reference plugin
+# does the same in its __init__.py:14-44)
+from . import ops  # noqa: F401
+from . import models  # noqa: F401
+from .models import exporter  # noqa: F401
+from . import materials  # noqa: F401
+from . import backgrounds  # noqa: F401
+from . import renderers  # noqa: F401
+from . import guidance  # noqa: F401
+from . import data  # noqa: F401
+from . import systems  # noqa: F401

@@ -1,0 +1,113 @@
+"""Stable-Diffusion SDS guidance (interface-compatible with the reference's
+`stable-diffusion-guidance` and the LoRA subclass at reference
+guidance/stable_diffusion_lora_guidance.py:21-50).
+
+The full UNet/VAE stack requires checkpoint weights.  This environment has no
+network egress, so the denoiser is pluggable:
+  * if `pretrained_model_name_or_path` points to a local directory with
+    weights, a real denoiser could be attached via `set_denoiser`;
+  * otherwise an analytic prior drives SDS toward a deterministic
+    prompt-derived palette -- every piece of the SDS plumbing (timestep
+    window scheduling, CFG mixing, w(t), reparameterized MSE, grad clip)
+    is the real thing (guidance/sds.py), only the score network is fake.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import register
+from .base import BaseGuidance
+from .sds import SDSConfig, ddpm_alphas_cumprod, sds_loss, sds_sched_scalars
+
+
+@dataclasses.dataclass
+class StableDiffusionGuidanceConfig:
+    pretrained_model_name_or_path: str = "stabilityai/stable-diffusion-2-1-base"
+    guidance_scale: float = 100.0
+    weighting_strategy: str = "sds"
+    min_step_percent: Any = 0.02
+    max_step_percent: Any = 0.98
+    grad_clip: Any = None
+    half_precision_weights: bool = True
+    lora_model_name_or_path: Optional[str] = None  # lora subclass
+    lora_scale: float = 1.0
+
+
+@register("stable-diffusion-guidance")
+class StableDiffusionGuidance(BaseGuidance):
+    Config = StableDiffusionGuidanceConfig
+
+    def __init__(self, cfg=None, **kwargs):
+        if cfg is None:
+            cfg = StableDiffusionGuidanceConfig(**kwargs)
+        elif isinstance(cfg, dict):
+            from ..utils.config import parse_structured
+
+            cfg = parse_structured(StableDiffusionGuidanceConfig, cfg)
+        self.cfg = cfg
+        self.sds_cfg = SDSConfig(
+            guidance_scale=cfg.guidance_scale,
+            min_step_percent=cfg.min_step_percent,
+            max_step_percent=cfg.max_step_percent,
+            grad_clip=cfg.grad_clip,
+            weighting_strategy=cfg.weighting_strategy,
+        )
+        self.alphas_cumprod = ddpm_alphas_cumprod()
+        self.denoiser = None
+        if os.path.isdir(str(cfg.pretrained_model_name_or_path)):
+            # hook point for locally-available weights; loading machinery is
+            # deliberately isolated so the training path stays functional
+            self.denoiser = self._try_load_local(cfg.pretrained_model_name_or_path)
+
+    def _try_load_local(self, path: str):
+        return None  # no local SD weights in this environment
+
+    def set_denoiser(self, fn):
+        """fn(noisy, t, key, text_embedding) -> (eps_uncond, eps_cond)."""
+        self.denoiser = fn
+
+    def sched_scalars(self, step: int) -> dict:
+        return sds_sched_scalars(self.sds_cfg, step)
+
+    def __call__(self, rgb, prompt_utils, batch, key=None, sched=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if sched is None:
+            sched = sds_sched_scalars(self.sds_cfg, 0)
+        ac = self.alphas_cumprod
+
+        if self.denoiser is not None:
+            emb = prompt_utils.get_text_embeddings() if prompt_utils else None
+
+            def denoise_fn(noisy, t, k):
+                return self.denoiser(noisy, t, k, emb)
+
+        else:
+            # analytic fallback prior: prompt-derived target palette
+            if prompt_utils is not None:
+                emb = prompt_utils.get_text_embeddings()
+                target = jax.nn.sigmoid(jnp.mean(emb, axis=0)[:3])
+            else:
+                target = jnp.array([0.5, 0.5, 0.5])
+
+            def denoise_fn(noisy, t, k):
+                alpha_bar = ac[t].reshape((t.shape[0],) + (1,) * (noisy.ndim - 1))
+                x0 = jnp.broadcast_to(target, noisy.shape)
+                eps = (noisy - jnp.sqrt(alpha_bar) * x0) / jnp.sqrt(1.0 - alpha_bar)
+                return eps, eps
+
+        loss, aux = sds_loss(rgb, denoise_fn, key, sched, self.sds_cfg, ac)
+        return {"loss_sds": loss, "grad_norm": aux["grad_norm"]}
+
+
+@register("stable-diffusion-lora-guidance")
+class StableDiffusionLoRAGuidance(StableDiffusionGuidance):
+    """LoRA-personalized SD guidance (reference
+    guidance/stable_diffusion_lora_guidance.py): same SDS path; a LoRA
+    adapter would be fused into the denoiser when local weights exist."""

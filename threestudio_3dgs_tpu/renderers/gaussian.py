@@ -1,0 +1,331 @@
+"""Static Gaussian renderer variants.
+
+Replaces the reference's five wrapper rasterizers
+(renderer/diff_gaussian_rasterizer{,_advanced,_background,_normal,_shading}.py)
+and its sequential `GaussianBatchRenderer.batch_forward` python loop
+(renderer/gaussian_batch_renderer.py:21).  Differences by design:
+
+  * the per-view loop is unrolled *inside* one jitted step (XLA schedules
+    views back-to-back on-device; nothing returns to host between views);
+  * depth / alpha / splatted per-Gaussian normals come out of the SAME
+    kernel pass as extra blended channels -- the reference needs a second
+    full rasterizer call just to splat normals
+    (renderer/diff_gaussian_rasterizer_normal.py:175-187);
+  * stochastic bits (bg inversion, material augmentation, neural-bg random
+    aug) consume a JAX PRNG key: one compiled graph, no host randomness.
+
+Output dict keys mirror the reference batch renderer: comp_rgb, comp_depth,
+comp_mask, comp_normal, comp_pred_normal, comp_rgb_bg (B, H, W, C), plus the
+per-view stacked radii / visibility / means2d-gradient channels used by
+adaptive density control.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gaussian_field as gf
+from ..ops import camera as cam_ops
+from ..ops.image import depth_to_normal, normalize_vec
+from ..ops.rasterizer import RasterizeConfig, rasterize
+from ..utils.registry import register
+
+
+@dataclasses.dataclass
+class RendererConfig:
+    invert_bg_prob: float = 1.0
+    back_ground_color: Tuple[float, float, float] = (1, 1, 1)
+    tile_size: int = 32
+    max_pairs: int = 2 ** 21
+    impl: str = "auto"
+
+
+class GaussianRendererBase:
+    """Shared machinery.  Subclasses set class flags for channels."""
+
+    Config = RendererConfig
+    with_depth = False
+    with_mask = False
+    with_normal = False
+    with_background = False
+    with_shading = False
+
+    def __init__(self, cfg=None, geometry=None, material=None, background=None, **kw):
+        if cfg is None:
+            cfg = RendererConfig(**kw)
+        elif isinstance(cfg, dict):
+            from ..utils.config import parse_structured
+
+            cfg = parse_structured(RendererConfig, cfg)
+        self.cfg = cfg
+        self.geometry = geometry
+        self.material = material
+        self.background = background
+
+    # -- single view -------------------------------------------------------
+    def render_one(
+        self,
+        gauss: gf.GaussianState,
+        camera: cam_ops.Camera,
+        *,
+        bg_params=None,
+        rays_o=None,
+        rays_d=None,
+        light_positions=None,
+        key=None,
+        ambient_only=None,
+        training: bool = False,
+        color_clip: float = float("inf"),
+        means2d_offset: Optional[jnp.ndarray] = None,
+        override_color: Optional[jnp.ndarray] = None,
+        scaling_modifier: float = 1.0,
+        ambient_ratio=None,
+        shading: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        geo = self.geometry
+        params = gauss.params
+
+        # background color handling (reference diff_gaussian_rasterizer.py:59-64)
+        base_bg = jnp.asarray(cfg.back_ground_color, jnp.float32)
+        if self.with_background:
+            kernel_bg = jnp.zeros(3)  # composite neural bg outside
+        elif training and key is not None:
+            key, sub = jax.random.split(key)
+            invert = jax.random.uniform(sub) > cfg.invert_bg_prob
+            kernel_bg = jnp.where(invert, 1.0 - base_bg, base_bg)
+        else:
+            kernel_bg = 1.0 - base_bg  # eval always inverts (reference quirk)
+
+        sh_coeffs = None
+        colors = override_color
+        if colors is None:
+            sh_coeffs = gf.get_features(params, color_clip)
+
+        extra = None
+        if self.with_normal and params.normal is not None:
+            extra = params.normal
+
+        out = rasterize(
+            params.xyz,
+            gf.get_scaling(params, geo.cfg.sphere if geo is not None else False),
+            params.rotation,
+            gf.get_opacity(params)[:, 0],
+            camera,
+            kernel_bg,
+            colors=colors,
+            sh_coeffs=sh_coeffs,
+            sh_degree=geo.active_sh_degree if geo is not None else 0,
+            extra_features=extra,
+            alive=gauss.alive,
+            means2d_offset=means2d_offset,
+            scaling_modifier=scaling_modifier,
+            with_depth=True,
+            config=RasterizeConfig(
+                tile_size=cfg.tile_size, max_pairs=cfg.max_pairs, impl=cfg.impl
+            ),
+        )
+
+        result: Dict[str, Any] = {
+            "render": jnp.clip(out["image"], 0.0, 1.0),
+            "radii": out["radii"],
+            "visibility_filter": out["visibility"],
+            "n_dropped": out["n_dropped"],
+        }
+        alpha = out["alpha"]
+        depth = out["depth"]
+        if self.with_mask:
+            result["mask"] = alpha
+        if self.with_depth:
+            result["depth"] = depth
+
+        if self.with_background and self.background is not None:
+            bg_color = self.background(
+                bg_params, rays_d, key=key, training=training
+            )  # (H, W, 3)
+            comp = out["image"] + (1.0 - alpha[..., None]) * bg_color
+            result["render"] = jnp.clip(comp, 0.0, 1.0)
+            result["comp_rgb_bg"] = bg_color
+            result["mask"] = alpha
+            result["depth"] = depth
+
+        if self.with_normal:
+            # depth -> xyz -> screen-space normal (reference
+            # diff_gaussian_rasterizer_normal.py:172-193)
+            xyz_map = rays_o + depth[..., None] * rays_d
+            normal_map = normalize_vec(depth_to_normal(xyz_map))
+            normal_map = normal_map * 0.5 * alpha[..., None] + 0.5
+            # gradient detach outside the confident-alpha mask
+            confident = (alpha > 0.99)[..., None]
+            normal_map = jnp.where(
+                confident, normal_map, jax.lax.stop_gradient(normal_map)
+            )
+            depth_out = jnp.where(
+                confident[..., 0], depth, jax.lax.stop_gradient(depth)
+            )
+            result["normal"] = normal_map
+            result["depth"] = depth_out
+            result["mask"] = alpha
+            if "extra" in out:
+                # splatted per-Gaussian predicted normals (same kernel pass)
+                result["pred_normal"] = out["extra"]
+
+        if self.with_shading and self.material is not None:
+            albedo_rgb = out["image"]
+            safe_alpha = jnp.maximum(alpha[..., None], 1e-4)
+            albedo = jnp.clip(albedo_rgb / safe_alpha, 0.0, 1.0)
+            xyz_map = rays_o + depth[..., None] * rays_d
+            normal_for_shading = result["normal"] * 2.0 - 1.0
+            shaded = self.material.shade(
+                xyz_map,
+                normal_for_shading,
+                light_positions,
+                albedo,
+                key=key,
+                ambient_only=ambient_only,
+                training=training,
+                ambient_ratio=ambient_ratio,
+                shading=shading,
+            )
+            comp = shaded * alpha[..., None]
+            if self.background is not None:
+                bg_color = self.background(bg_params, rays_d, key=key, training=training)
+                comp = comp + (1.0 - alpha[..., None]) * bg_color
+                result["comp_rgb_bg"] = bg_color
+            result["render"] = jnp.clip(comp, 0.0, 1.0)
+
+        return result
+
+    # -- batch (replaces GaussianBatchRenderer.batch_forward) --------------
+    def batch_forward(
+        self,
+        gauss: gf.GaussianState,
+        batch: Dict[str, Any],
+        *,
+        bg_params=None,
+        key=None,
+        ambient_only=None,
+        training: bool = False,
+        color_clip: float = float("inf"),
+        means2d_offset: Optional[jnp.ndarray] = None,  # (B, N, 2) dummy zeros
+        override_color=None,
+        ambient_ratio=None,
+        shading: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        c2w = batch["c2w"]
+        bs = c2w.shape[0]
+        height = int(batch["height"])
+        width = int(batch["width"])
+        keys = (
+            jax.random.split(key, bs) if key is not None else [None] * bs
+        )
+        per_view = []
+        for i in range(bs):
+            fovy = batch["fovy"][i]
+            camera = cam_ops.camera_from_c2w(
+                c2w[i],
+                fovy,
+                fovy,  # fovx = fovy, reference gaussian_batch_renderer.py:24-25
+                height,
+                width,
+                znear=0.1,
+                zfar=100.0,
+                timestamp=batch["timestamp"][i] if "timestamp" in batch else None,
+                frame_idx=batch["frame_indices"][i]
+                if "frame_indices" in batch
+                else None,
+            )
+            per_view.append(
+                self.render_one(
+                    gauss,
+                    camera,
+                    bg_params=bg_params,
+                    rays_o=batch["rays_o"][i] if "rays_o" in batch else None,
+                    rays_d=batch["rays_d"][i] if "rays_d" in batch else None,
+                    light_positions=batch["light_positions"][i]
+                    if "light_positions" in batch
+                    else None,
+                    key=keys[i],
+                    ambient_only=ambient_only,
+                    training=training,
+                    color_clip=color_clip,
+                    means2d_offset=means2d_offset[i]
+                    if means2d_offset is not None
+                    else None,
+                    override_color=override_color,
+                    ambient_ratio=ambient_ratio,
+                    shading=shading,
+                )
+            )
+
+        outputs: Dict[str, Any] = {
+            "comp_rgb": jnp.stack([o["render"] for o in per_view]),
+            "radii": jnp.stack([o["radii"] for o in per_view]),
+            "visibility_filter": jnp.stack(
+                [o["visibility_filter"] for o in per_view]
+            ),
+            "n_dropped": jnp.stack([o["n_dropped"] for o in per_view]),
+        }
+        for name, out_name in [
+            ("depth", "comp_depth"),
+            ("mask", "comp_mask"),
+            ("normal", "comp_normal"),
+            ("pred_normal", "comp_pred_normal"),
+            ("comp_rgb_bg", "comp_rgb_bg"),
+        ]:
+            if name in per_view[0]:
+                stacked = jnp.stack([o[name] for o in per_view])
+                if stacked.ndim == 3:
+                    stacked = stacked[..., None]
+                outputs[out_name] = stacked
+        return outputs
+
+
+@register("diff-gaussian-rasterizer")
+class DiffGaussianRasterizer(GaussianRendererBase):
+    """Vanilla render: rgb only (reference renderer/diff_gaussian_rasterizer.py)."""
+
+
+@register("diff-gaussian-rasterizer-advanced")
+class DiffGaussianRasterizerAdvanced(GaussianRendererBase):
+    """Also returns depth + alpha mask (ashawkey-fork 4-tuple, reference
+    renderer/diff_gaussian_rasterizer_advanced.py:122,139-146)."""
+
+    with_depth = True
+    with_mask = True
+
+
+@register("diff-gaussian-rasterizer-background")
+class DiffGaussianRasterizerBackground(GaussianRendererBase):
+    """Neural env-map background composited over zero-bg render (reference
+    renderer/diff_gaussian_rasterizer_background.py:57-58,116-132)."""
+
+    with_depth = True
+    with_mask = True
+    with_background = True
+
+
+@register("diff-gaussian-rasterizer-normal")
+class DiffGaussianRasterizerNormal(GaussianRendererBase):
+    """Depth-derived screen-space normals + optional splatted pred normals
+    (reference renderer/diff_gaussian_rasterizer_normal.py)."""
+
+    with_depth = True
+    with_mask = True
+    with_normal = True
+
+
+@register("diff-gaussian-rasterizer-shading")
+class DiffGaussianRasterizerShading(GaussianRendererBase):
+    """Normals + lambertian point-light shading + neural background
+    (reference renderer/diff_gaussian_rasterizer_shading.py:169-213)."""
+
+    with_depth = True
+    with_mask = True
+    with_normal = True
+    with_shading = True
+    with_background = True

@@ -1,0 +1,282 @@
+"""System base: functional training orchestration.
+
+Replaces the reference's Lightning-based BaseLift3DSystem (SURVEY.md L7).
+A system owns host-side component objects (geometry wrapper, renderer,
+guidance) and compiles ONE jitted train step per (height, width, batch_size):
+
+    (SystemState, device batch, key, sched scalars) -> (SystemState', logs)
+
+Scheduled hyperparameters (per-group LRs, color_clip, loss lambdas, the SDS
+timestep window, material warmup flags) are evaluated host-side with C() each
+step and enter the graph as traced scalars -- values change every step, the
+compiled graph never does.  Structural updates (densify/prune) run as
+separate jitted ops at their intervals, exactly like the reference's
+update_states gating (reference geometry/gaussian_base.py:853-869)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..models import gaussian_field as gf
+from ..models.optim import AdamState, adam_update, init_adam
+from ..utils.config import C, parse_structured
+from ..utils.registry import find
+from ..utils.saving import save_image_grid
+
+
+@struct.dataclass
+class SystemState:
+    gauss: gf.GaussianState
+    extra_params: Any  # dict pytree: background mlp, deformation nets, ...
+    extra_opt: AdamState
+
+
+@dataclasses.dataclass
+class BaseSystemConfig:
+    geometry_type: str = "gaussian-splatting"
+    geometry: dict = dataclasses.field(default_factory=dict)
+    geometry_convert_from: str = ""
+    material_type: Optional[str] = None
+    material: dict = dataclasses.field(default_factory=dict)
+    background_type: Optional[str] = None
+    background: dict = dataclasses.field(default_factory=dict)
+    renderer_type: str = "diff-gaussian-rasterizer"
+    renderer: dict = dataclasses.field(default_factory=dict)
+    guidance_type: str = "fake-sds-guidance"
+    guidance: dict = dataclasses.field(default_factory=dict)
+    prompt_processor_type: str = "dummy-prompt-processor"
+    prompt_processor: dict = dataclasses.field(default_factory=dict)
+    exporter_type: str = "gaussian-mesh-exporter"
+    exporter: dict = dataclasses.field(default_factory=dict)
+    loss: dict = dataclasses.field(default_factory=dict)
+    optimizer: dict = dataclasses.field(default_factory=dict)
+    freq: dict = dataclasses.field(default_factory=dict)
+    visualize_samples: bool = False
+
+
+def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """numpy batch -> jnp arrays.  height/width stay OUT of the device batch
+    (they are static shape information, threaded separately)."""
+    out = {}
+    for k, v in batch.items():
+        if v is None or k in ("height", "width"):
+            continue
+        if k == "random_camera" and isinstance(v, dict):
+            out[k] = to_device_batch(v)
+        elif isinstance(v, np.ndarray):
+            out[k] = jnp.asarray(v)
+        elif isinstance(v, (int, float)):
+            out[k] = jnp.asarray(v)
+        else:
+            out[k] = v
+    return out
+
+
+class BaseGaussianSystem:
+    Config = BaseSystemConfig
+
+    def __init__(self, cfg=None, **kwargs):
+        if cfg is None:
+            cfg = self.Config(**kwargs)
+        elif isinstance(cfg, dict):
+            cfg = parse_structured(self.Config, cfg)
+        self.cfg = cfg
+
+        geo_cfg = dict(cfg.geometry)
+        if cfg.geometry_convert_from and "geometry_convert_from" not in geo_cfg:
+            geo_cfg["geometry_convert_from"] = cfg.geometry_convert_from
+        self.geometry = find(cfg.geometry_type)(geo_cfg)
+        self.material = (
+            find(cfg.material_type)(cfg.material) if cfg.material_type else None
+        )
+        self.background = (
+            find(cfg.background_type)(cfg.background) if cfg.background_type else None
+        )
+        self.renderer = find(cfg.renderer_type)(
+            cfg.renderer,
+            geometry=self.geometry,
+            material=self.material,
+            background=self.background,
+        )
+        self.guidance = (
+            find(cfg.guidance_type)(cfg.guidance) if cfg.guidance_type else None
+        )
+        self.prompt_processor = (
+            find(cfg.prompt_processor_type)(cfg.prompt_processor)
+            if cfg.prompt_processor_type
+            else None
+        )
+        self.prompt_utils = self.prompt_processor() if self.prompt_processor else None
+        self._train_jit: Dict[Any, Any] = {}
+        self._eval_jit: Dict[Any, Any] = {}
+
+        opt = cfg.optimizer if isinstance(cfg.optimizer, dict) else {}
+        self.extra_lr = float(
+            (opt.get("args") or {}).get("lr")
+            or ((opt.get("params") or {}).get("background") or {}).get("lr")
+            or 1e-3
+        )
+
+    # -- state --------------------------------------------------------------
+    def init_state(self, seed: int = 0) -> SystemState:
+        gauss = self.geometry.init_state(seed)
+        key = jax.random.PRNGKey(seed)
+        extra: Dict[str, Any] = {}
+        if self.background is not None and hasattr(self.background, "init_params"):
+            params = self.background.init_params(key)
+            if params:
+                extra["background"] = params
+        return SystemState(
+            gauss=gauss, extra_params=extra, extra_opt=init_adam(extra)
+        )
+
+    # -- scheduled scalars ---------------------------------------------------
+    def loss_lambda(self, sched, name: str):
+        return sched["lambdas"].get(name, jnp.float32(0.0))
+
+    def has_loss(self, name: str) -> bool:
+        """Static check: could this lambda ever be > 0 (avoids dead graph)."""
+        from ..utils.config import C_max
+
+        value = self.cfg.loss.get(name, 0.0)
+        try:
+            return C_max(value) > 0
+        except TypeError:
+            return False
+
+    def sched_scalars(self, step: int) -> Dict[str, Any]:
+        lambdas = {
+            name: jnp.float32(C(value, 0, step))
+            for name, value in self.cfg.loss.items()
+            if isinstance(value, (int, float, list, tuple))
+        }
+        sched: Dict[str, Any] = {
+            "lrs": self.geometry.lr_tree(step),
+            "extra_lr": jnp.float32(self.extra_lr),
+            "color_clip": jnp.float32(self.geometry.color_clip(step)),
+            "lambdas": lambdas,
+            "step": jnp.float32(step),
+        }
+        if self.guidance is not None and hasattr(self.guidance, "sched_scalars"):
+            sched["guidance"] = self.guidance.sched_scalars(step)
+        if self.material is not None and hasattr(
+            self.material.cfg, "ambient_only_steps"
+        ):
+            sched["ambient_only"] = jnp.asarray(
+                step < self.material.cfg.ambient_only_steps
+            )
+        return sched
+
+    # -- losses (overridden per system) -------------------------------------
+    def compute_loss(self, out, gauss, extra_params, batch, sched, key):
+        raise NotImplementedError
+
+    # -- forward ------------------------------------------------------------
+    def render_batch(
+        self, gauss, extra_params, batch, height, width, key, sched, training, vs_dummy=None
+    ):
+        b = dict(batch)
+        b["height"], b["width"] = height, width
+        return self.renderer.batch_forward(
+            gauss,
+            b,
+            bg_params=extra_params.get("background") if extra_params else None,
+            key=key,
+            ambient_only=sched.get("ambient_only") if sched else None,
+            training=training,
+            color_clip=sched["color_clip"] if sched else jnp.float32(1e9),
+            means2d_offset=vs_dummy,
+        )
+
+    # -- train step ----------------------------------------------------------
+    def _train_step_impl(self, height, width, bs, state, batch, key, sched):
+        cap = state.gauss.capacity
+        vs_dummy = jnp.zeros((bs, cap, 2))
+
+        def loss_fn(gp, ep, vs):
+            gs = state.gauss.replace(params=gp)
+            k_render, k_loss = jax.random.split(key)
+            out = self.render_batch(
+                gs, ep, batch, height, width, k_render, sched, True, vs
+            )
+            total, logs = self.compute_loss(out, gs, ep, batch, sched, k_loss)
+            return total, (out, logs)
+
+        (g_gauss, g_extra, g_vs), (out, logs) = jax.grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.gauss.params, state.extra_params, vs_dummy)
+
+        gauss = gf.apply_gradients(state.gauss, g_gauss, sched["lrs"])
+        if state.extra_params:
+            lr_tree = jax.tree_util.tree_map(
+                lambda _: sched["extra_lr"], state.extra_params
+            )
+            new_extra, new_opt = adam_update(
+                state.extra_params, g_extra, state.extra_opt, lr_tree, eps=1e-8
+            )
+        else:
+            new_extra, new_opt = state.extra_params, state.extra_opt
+
+        vs_grad_norm = jnp.linalg.norm(g_vs, axis=-1)  # (B, CAP), NDC units
+        gauss = gf.accumulate_stats(
+            gauss,
+            out["radii"].astype(jnp.float32),
+            out["visibility_filter"],
+            vs_grad_norm,
+        )
+
+        logs = dict(logs)
+        logs["n_dropped_pairs"] = jnp.sum(out["n_dropped"])
+        return SystemState(gauss=gauss, extra_params=new_extra, extra_opt=new_opt), logs
+
+    def train_step(self, state, batch, step: int, key):
+        dev_batch = to_device_batch(batch)
+        sched = self.sched_scalars(step)
+        bs = int(np.asarray(batch["c2w"]).shape[0])
+        height, width = int(batch["height"]), int(batch["width"])
+        sig = (height, width, bs)
+        if sig not in self._train_jit:
+            self._train_jit[sig] = jax.jit(partial(self._train_step_impl, *sig))
+        k_step, k_struct = jax.random.split(key)
+        state, logs = self._train_jit[sig](state, dev_batch, k_step, sched)
+        new_gauss, changed = self.geometry.update_states(state.gauss, step, k_struct)
+        if changed:
+            state = state.replace(gauss=new_gauss)
+        return state, logs
+
+    # -- eval ---------------------------------------------------------------
+    def _eval_impl(self, height, width, state, batch):
+        return self.render_batch(
+            state.gauss, state.extra_params, batch, height, width, None, None, False
+        )
+
+    def render_views(self, state, views):
+        outs = []
+        for view in views:
+            height, width = int(view["height"]), int(view["width"])
+            sig = (height, width)
+            if sig not in self._eval_jit:
+                self._eval_jit[sig] = jax.jit(partial(self._eval_impl, *sig))
+            out = self._eval_jit[sig](state, to_device_batch(view))
+            outs.append(jax.device_get(out))
+        return outs
+
+    # -- saving --------------------------------------------------------------
+    def save_validation_images(self, out_dir, state, views, step, prefix=""):
+        outs = self.render_views(state, views)
+        for view, out in zip(views, outs):
+            imgs = [out["comp_rgb"][0]]
+            if "comp_normal" in out:
+                imgs.append(out["comp_normal"][0])
+            save_image_grid(
+                os.path.join(out_dir, f"it{step}-{prefix}{view['index']}.png"), imgs
+            )
+        return outs

@@ -1,0 +1,128 @@
+"""Training loop: the ~300-line JAX replacement for the Lightning Trainer +
+launch.py the reference depends on (SURVEY.md L1, design delta 4).
+
+Drives the train/val/test/predict/export lifecycle from an ExperimentConfig:
+  * train: host loop; per-step batches from the data module, jitted train
+    step, interval-gated validation / checkpointing
+  * val/test: fixed-circle renders -> image grids -> mp4
+  * export: geometry export (PLY always; mesh extraction via the exporter)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from .utils.ckpt import load_checkpoint, save_checkpoint
+from .utils.config import ExperimentConfig, dump_config
+from .utils.registry import find
+from .utils.saving import save_image_grid, save_img_sequence
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.data = find(cfg.data_type)(cfg.data, seed=cfg.seed)
+        system_cfg = dict(cfg.system)
+        self.system = find(cfg.system_type)(system_cfg)
+        self.max_steps = int(cfg.trainer.get("max_steps", 1000))
+        self.val_interval = cfg.trainer.get("val_check_interval", None)
+        self.log_every = int(cfg.trainer.get("log_every_n_steps", 10))
+        ckpt_cfg = cfg.checkpoint or {}
+        self.ckpt_every = ckpt_cfg.get("every_n_train_steps", None)
+        self.save_dir = cfg.trial_dir or "outputs/debug"
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.state = None
+        self.step = 0
+        self.metrics_log = []
+
+    # -- lifecycle -----------------------------------------------------------
+    def fit(self, resume: Optional[str] = None):
+        dump_config(self.cfg, os.path.join(self.save_dir, "parsed.yaml"))
+        if resume:
+            self.state, self.step = load_checkpoint(resume)
+            print(f"[trainer] resumed from {resume} at step {self.step}")
+        if self.state is None:
+            self.state = self.system.init_state(self.cfg.seed)
+        key = jax.random.PRNGKey(self.cfg.seed)
+
+        t_start = time.time()
+        while self.step < self.max_steps:
+            batch = self.data.train_batch(self.step)
+            key, sub = jax.random.split(key)
+            self.state, logs = self.system.train_step(
+                self.state, batch, self.step, sub
+            )
+            self.step += 1
+
+            if self.step % self.log_every == 0 or self.step == 1:
+                logs_host = {
+                    k: float(np.asarray(v)) for k, v in jax.device_get(logs).items()
+                }
+                logs_host["step"] = self.step
+                logs_host["wall_s"] = round(time.time() - t_start, 1)
+                self.metrics_log.append(logs_host)
+                msg = " ".join(
+                    f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in sorted(logs_host.items())
+                )
+                print(f"[trainer] {msg}", flush=True)
+
+            if self.val_interval and self.step % int(self.val_interval) == 0:
+                self.validate()
+            if self.ckpt_every and self.step % int(self.ckpt_every) == 0:
+                self.save_ckpt("last.ckpt.npz")
+
+        self.save_ckpt("last.ckpt.npz")
+        with open(os.path.join(self.save_dir, "metrics.jsonl"), "w") as f:
+            for row in self.metrics_log:
+                f.write(json.dumps(row) + "\n")
+        return self.state
+
+    def validate(self):
+        views = self.data.val_views()
+        out_dir = os.path.join(self.save_dir, "save")
+        self.system.save_validation_images(out_dir, self.state, views, self.step)
+        print(f"[trainer] validation images -> {out_dir}", flush=True)
+
+    def test(self):
+        views = self.data.test_views()
+        out_dir = os.path.join(self.save_dir, "save", f"it{self.step}-test")
+        os.makedirs(out_dir, exist_ok=True)
+        outs = self.system.render_views(self.state, views)
+        for view, out in zip(views, outs):
+            save_image_grid(
+                os.path.join(out_dir, f"{view['index']}.png"), [out["comp_rgb"][0]]
+            )
+        video = save_img_sequence(
+            os.path.join(self.save_dir, "save", f"it{self.step}-test.mp4"),
+            out_dir,
+            r"(\d+)\.png",
+            fps=30,
+        )
+        # dump the point cloud alongside (reference test_step saves a PLY)
+        ply_path = os.path.join(self.save_dir, "save", "point_cloud.ply")
+        self.system.geometry.save_ply(self.state.gauss, ply_path)
+        print(f"[trainer] test renders -> {out_dir}; video={video}; ply={ply_path}")
+
+    def export(self):
+        exporter_type = getattr(self.system.cfg, "exporter_type", None) or (
+            "gaussian-mesh-exporter"
+        )
+        exporter = find(exporter_type)(
+            getattr(self.system.cfg, "exporter", {}), geometry=self.system.geometry
+        )
+        out_dir = os.path.join(self.save_dir, "save", "export")
+        os.makedirs(out_dir, exist_ok=True)
+        outputs = exporter(self.state.gauss, out_dir)
+        print(f"[trainer] export -> {out_dir}: {outputs}")
+
+    def save_ckpt(self, name: str):
+        path = os.path.join(self.save_dir, "ckpts", name)
+        save_checkpoint(path, self.state, self.step)
+        print(f"[trainer] checkpoint -> {path}", flush=True)
