@@ -25,7 +25,7 @@ import numpy as np
 
 from ..camera import Camera
 from . import blend_jax
-from .binning import bin_gaussians
+from .binning import bin_gaussians, pair_gather
 from .preprocess import project_gaussians, sh_colors
 
 
@@ -154,8 +154,8 @@ def rasterize(
         config.max_pairs,
     )
 
-    # per-pair feature gather (differentiable; transpose = per-Gaussian scatter)
-    g = binning.pair_gauss
+    # per-pair feature gather with a scatter-free hand-written transpose
+    # (gather + cumsum-diff; see binning.pair_gather)
     feats = jnp.concatenate(
         [
             proj.means2d,
@@ -165,7 +165,7 @@ def rasterize(
         ],
         axis=1,
     )  # (N, 6 + C)
-    pair_feats = feats[g]
+    pair_feats = pair_gather(feats, binning)
     # invalid pairs (beyond n_pairs) have tile id == num_tiles; their rows fall
     # outside every tile range, so garbage values there are never read.
 
