@@ -28,6 +28,33 @@ from ..gaussian_math import covariance_from_scaling_rotation
 from ..sh import eval_sh_color
 
 
+def _cov3d_entries(scales, quats, modifier):
+    """Upper-triangular entries of Sigma = R diag(s^2) R^T, hand-expanded in
+    scalar (VPU) form -- batched 3x3 matmuls at N=1M lower poorly on TPU."""
+    q = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+    )
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s2 = (modifier * scales) ** 2
+    a, b, c = s2[..., 0], s2[..., 1], s2[..., 2]
+    s00 = r00 * r00 * a + r01 * r01 * b + r02 * r02 * c
+    s01 = r00 * r10 * a + r01 * r11 * b + r02 * r12 * c
+    s02 = r00 * r20 * a + r01 * r21 * b + r02 * r22 * c
+    s11 = r10 * r10 * a + r11 * r11 * b + r12 * r12 * c
+    s12 = r10 * r20 * a + r11 * r21 * b + r12 * r22 * c
+    s22 = r20 * r20 * a + r21 * r21 * b + r22 * r22 * c
+    return s00, s01, s02, s11, s12, s22
+
+
 class Projected(NamedTuple):
     means2d: jnp.ndarray  # (N, 2) pixel coordinates
     depths: jnp.ndarray  # (N,) view-space z
@@ -79,7 +106,7 @@ def project_gaussians(
         means2d = means2d + means2d_offset * (sizes * 0.5)
 
     # ---- EWA covariance projection ---------------------------------------
-    cov3d = covariance_from_scaling_rotation(scales, quats, scaling_modifier)
+    s00, s01, s02, s11, s12, s22 = _cov3d_entries(scales, quats, scaling_modifier)
     focal_x = width / (2.0 * camera.tanfovx)
     focal_y = height / (2.0 * camera.tanfovy)
     limx = 1.3 * camera.tanfovx
@@ -96,14 +123,23 @@ def project_gaussians(
     j11 = focal_y * inv_z
     j12 = -focal_y * ty * inv_z2
     rot_w = camera.w2c[:3, :3]  # world->view rotation
-    # T = J @ W : (N, 2, 3)
-    t_row0 = j00[..., None] * rot_w[0] + j02[..., None] * rot_w[2]
-    t_row1 = j11[..., None] * rot_w[1] + j12[..., None] * rot_w[2]
-    t_mat = jnp.stack([t_row0, t_row1], axis=-2)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", t_mat, cov3d, t_mat)
-    c00 = cov2d[..., 0, 0] + 0.3
-    c01 = cov2d[..., 0, 1]
-    c11 = cov2d[..., 1, 1] + 0.3
+    # T = J @ W : (N, 2, 3); hand-expanded -- tiny batched einsums lower to
+    # pathological 2x3x3 matmul loops on TPU, scalar math stays on the VPU
+    t0 = j00[..., None] * rot_w[0] + j02[..., None] * rot_w[2]  # (N, 3)
+    t1 = j11[..., None] * rot_w[1] + j12[..., None] * rot_w[2]  # (N, 3)
+    # cov2d = T Sigma T^T, with Sigma symmetric given by its 6 entries
+    def sigma_vec(vx, vy, vz):
+        return (
+            s00 * vx + s01 * vy + s02 * vz,
+            s01 * vx + s11 * vy + s12 * vz,
+            s02 * vx + s12 * vy + s22 * vz,
+        )
+
+    st0 = sigma_vec(t0[..., 0], t0[..., 1], t0[..., 2])
+    st1 = sigma_vec(t1[..., 0], t1[..., 1], t1[..., 2])
+    c00 = t0[..., 0] * st0[0] + t0[..., 1] * st0[1] + t0[..., 2] * st0[2] + 0.3
+    c01 = t1[..., 0] * st0[0] + t1[..., 1] * st0[1] + t1[..., 2] * st0[2]
+    c11 = t1[..., 0] * st1[0] + t1[..., 1] * st1[1] + t1[..., 2] * st1[2] + 0.3
 
     det = c00 * c11 - c01 * c01
     det_ok = det > 0.0
