@@ -453,7 +453,7 @@ def densify_op(
     # ---- split: parent -> two resampled children -------------------------
     n_children = 2
     rot = quaternion.to_rotation_matrix(params.rotation)  # normalized inside
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     eps1 = jax.random.normal(k1, (cap, 3)) * scal
     eps2 = jax.random.normal(k2, (cap, 3)) * scal
     child1_xyz = params.xyz + jnp.einsum("nij,nj->ni", rot, eps1)
@@ -461,8 +461,15 @@ def densify_op(
     child_scaling = jnp.log(scal / (0.8 * n_children))
 
     starget = _free_slot_targets(alive, split_mask)
+    # spacetime fields resample the split children's temporal RBF center
+    # uniformly (reference spacetime_gaussian.py:807-808)
+    trbf_child = None
+    if getattr(params, "trbf_center", None) is not None:
+        trbf_child = jax.random.uniform(k3, params.trbf_center.shape)
     # child 2 first (reads parent rows before they are overwritten)
     child2_vals = params.replace(xyz=child2_xyz, scaling=child_scaling)
+    if trbf_child is not None:
+        child2_vals = child2_vals.replace(trbf_center=trbf_child)
     params = _scatter_rows(params, child2_vals, starget)
     alive = alive.at[starget].set(True, mode="drop")
     # child 1 replaces the parent row in place
@@ -471,6 +478,10 @@ def densify_op(
         xyz=jnp.where(smask3, child1_xyz, params.xyz),
         scaling=jnp.where(smask3, child_scaling, params.scaling),
     )
+    if trbf_child is not None:
+        params = params.replace(
+            trbf_center=jnp.where(smask3, trbf_child, params.trbf_center)
+        )
     # the reference's appended children start with zero Adam moments
     adam = zero_moments_at(adam, starget)
     adam = zero_moments_at(adam, jnp.where(split_mask, jnp.arange(cap), cap))

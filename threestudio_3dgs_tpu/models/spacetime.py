@@ -1,0 +1,341 @@
+"""Spacetime (4D) Gaussian field: TPU re-design of the reference
+`SpacetimeGaussianModel` (reference geometry/spacetime_gaussian.py:31-1143).
+
+Four motion modes, composable exactly like the reference:
+  * spacetime polynomial: per-point `motion` (rank 3 poly in dt) and `omega`
+    (rank-1 quaternion rate), dt = t - trbf_center (detached), TRBF opacity
+    modulation deliberately disabled like the reference (:278-283 quirk);
+  * dynamic per-frame deltas: `delta_xyz`/`delta_rot` indexed by frame;
+  * HexPlane deformation network (params live in the system extra_params);
+  * SE(3) cubic B-spline: control knots recomputed IN-GRAPH from the
+    polynomial/delta/deformation motion at the frame times (the reference
+    recomputes them each train step host-side, system/sugar_4dgen.py:423-427;
+    here they stay differentiable inside the jitted step for free).
+
+Structural density ops are inherited: clone/split/prune are generic masked
+scatters over the params pytree; the split child resamples trbf_center
+uniformly like the reference (:807-808).  The reference's delta-rot copy bug
+(:802-803,856-857, duplicating delta_xyz into delta_rot) is NOT replicated.
+
+Temporal parameters ride rows of the same static-capacity arrays:
+delta_xyz is (CAP, T, 3) -- row-major so the masked scatters just work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import quaternion, spline
+from ..ops.sh import sh_to_rgb
+from ..utils.registry import register
+from . import ply_io
+from .deformation import (
+    DeformationConfig,
+    deformation_apply,
+    init_deformation_params,
+)
+from .gaussian_field import (
+    GaussianField,
+    GaussianFieldConfig,
+    GaussianState,
+    get_opacity,
+    get_rotation,
+    get_scaling,
+    init_state as base_init_state,
+)
+from .optim import init_adam
+
+
+@struct.dataclass
+class SpacetimeParams:
+    xyz: jnp.ndarray
+    features_dc: jnp.ndarray
+    features_rest: jnp.ndarray
+    scaling: jnp.ndarray
+    rotation: jnp.ndarray
+    opacity: jnp.ndarray
+    normal: Optional[jnp.ndarray] = None
+    motion: Optional[jnp.ndarray] = None  # (CAP, 3 * rank_motion)
+    omega: Optional[jnp.ndarray] = None  # (CAP, 4 * rank_omega)
+    trbf_center: Optional[jnp.ndarray] = None  # (CAP, 1)
+    trbf_scale: Optional[jnp.ndarray] = None  # (CAP, 1)
+    delta_xyz: Optional[jnp.ndarray] = None  # (CAP, T, 3)
+    delta_rot: Optional[jnp.ndarray] = None  # (CAP, T, 4)
+
+
+@dataclasses.dataclass
+class SpacetimeConfig(GaussianFieldConfig):
+    num_frames: int = 14
+    use_spline: bool = False
+    enable_static: bool = False
+    enable_dynamic: bool = False
+    delta_xyz_lr: Any = 0.001
+    delta_rot_lr: Any = 0.0001
+    enable_spacetime: bool = True
+    omega_lr: Any = 0.01
+    trbfc_lr: Any = 0.01
+    trbfs_lr: Any = 0.01
+    move_lr: Any = 0.01
+    rank_motion: int = 3
+    rank_omega: int = 1
+    addsphpointsscale: float = 0.8
+    trbfslinit: float = 0.1
+    raystart: float = 0.7
+    spatial_lr_scale: float = 10.0
+    enable_deformation: bool = False
+    deformation_lr: Any = 0
+    grid_lr: Any = 0
+
+
+# ---------------------------------------------------------------------------
+# Timed evaluation (reference :223-334)
+# ---------------------------------------------------------------------------
+
+
+def get_motion(params: SpacetimeParams, cfg, delta_t, frame_idx):
+    """Polynomial + per-frame translation offset (reference :223-233)."""
+    motion = jnp.zeros_like(params.xyz)
+    if cfg.enable_spacetime and params.motion is not None:
+        m = params.motion.reshape(-1, cfg.rank_motion, 3)
+        for i in range(cfg.rank_motion):
+            motion = motion + m[:, i, :] * delta_t ** (i + 1)
+    if cfg.enable_dynamic and params.delta_xyz is not None:
+        motion = motion + params.delta_xyz[:, frame_idx]
+    return motion
+
+
+def get_omega(params: SpacetimeParams, cfg, delta_t, frame_idx):
+    """Raw quaternion offset (reference :235-243)."""
+    omega = jnp.zeros_like(params.rotation)
+    if cfg.enable_spacetime and params.omega is not None:
+        o = params.omega.reshape(-1, cfg.rank_omega, 4)
+        for i in range(cfg.rank_omega):
+            omega = omega + o[:, i, :] * delta_t ** (i + 1)
+    if cfg.enable_dynamic and params.delta_rot is not None:
+        omega = omega + params.delta_rot[:, frame_idx]
+    return omega
+
+
+def _timed_xyz_rot_raw(
+    params: SpacetimeParams,
+    cfg: SpacetimeConfig,
+    timestamp,
+    frame_idx,
+    deformation_params=None,
+    deformation_cfg: Optional[DeformationConfig] = None,
+):
+    """Raw (pre-activation) timed means and rotations (reference :261-291)."""
+    xyz = params.xyz
+    rotation = params.rotation
+    scaling = params.scaling
+    opacity = params.opacity
+    n = xyz.shape[0]
+    ts = jnp.broadcast_to(jnp.asarray(timestamp, jnp.float32), (n,))
+
+    if cfg.enable_deformation and deformation_params is not None:
+        xyz, scaling, rotation, opacity = deformation_apply(
+            deformation_params, deformation_cfg, xyz, scaling, rotation, opacity,
+            ts * 2.0 - 1.0,
+        )
+    if cfg.enable_spacetime and params.trbf_center is not None:
+        delta_t = jax.lax.stop_gradient(ts[:, None] - params.trbf_center)
+    else:
+        delta_t = jnp.zeros((n, 1))
+    rotation = rotation + get_omega(params, cfg, delta_t, frame_idx)
+    xyz = xyz + get_motion(params, cfg, delta_t, frame_idx)
+    return xyz, rotation, scaling, opacity
+
+
+def compute_control_knots(
+    params: SpacetimeParams,
+    cfg: SpacetimeConfig,
+    deformation_params=None,
+    deformation_cfg=None,
+):
+    """Per-point SE(3) spline knots from the frame-time motion states
+    (reference :355-405): knot k at spline time linspace(start, end, K)."""
+    k = cfg.num_frames
+    interval, start, _, _ = spline.spline_timing(k, degree=3)
+    times = np.linspace(start, start + (k - 1) * interval, k)
+    knots_xyz = []
+    knots_rot = []
+    for i, t in enumerate(times):
+        xyz, rot, _, _ = _timed_xyz_rot_raw(
+            params, cfg, jnp.float32(t), i, deformation_params, deformation_cfg
+        )
+        knots_xyz.append(xyz)
+        knots_rot.append(quaternion.normalize(rot))
+    return jnp.stack(knots_xyz, axis=1), jnp.stack(knots_rot, axis=1)  # (N,K,·)
+
+
+def get_timed_all(
+    params: SpacetimeParams,
+    cfg: SpacetimeConfig,
+    timestamp,
+    frame_idx=None,
+    deformation_params=None,
+    deformation_cfg=None,
+):
+    """(means3D, scales, rotations, opacity, colors_precomp), activated
+    (reference get_timed_all :291-334; colors are SH2RGB(f_dc), a documented
+    reference quirk -- spacetime renders with colors_precomp)."""
+    if cfg.use_spline:
+        kx, kq = compute_control_knots(
+            params, cfg, deformation_params, deformation_cfg
+        )
+        xyz, rot = spline.spline_eval(kx, kq, jnp.asarray(timestamp, jnp.float32))
+        scaling = params.scaling
+        opacity = params.opacity
+    else:
+        xyz, rot, scaling, opacity = _timed_xyz_rot_raw(
+            params, cfg, timestamp, frame_idx, deformation_params, deformation_cfg
+        )
+    colors = sh_to_rgb(params.features_dc[:, 0, :])
+    return (
+        xyz,
+        jnp.exp(scaling),
+        quaternion.normalize(rot),
+        jax.nn.sigmoid(opacity),
+        colors,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field wrapper
+# ---------------------------------------------------------------------------
+
+
+@register("spacetime-gaussian-splatting")
+class SpacetimeGaussianField(GaussianField):
+    Config = SpacetimeConfig
+
+    def __init__(self, cfg=None, **kwargs):
+        if cfg is None:
+            cfg = SpacetimeConfig(**kwargs)
+        elif isinstance(cfg, dict):
+            from ..utils.config import parse_structured
+
+            cfg = parse_structured(SpacetimeConfig, cfg)
+        super().__init__(cfg)
+        self.deformation_cfg = DeformationConfig() if cfg.enable_deformation else None
+
+    def init_state(self, seed: int = 0) -> GaussianState:
+        base = base_init_state(self.cfg, seed)
+        cap = base.params.xyz.shape[0]
+        cfg = self.cfg
+        p = base.params
+        st = SpacetimeParams(
+            xyz=p.xyz,
+            features_dc=p.features_dc,
+            features_rest=p.features_rest,
+            scaling=p.scaling,
+            rotation=p.rotation,
+            opacity=p.opacity,
+            normal=p.normal,
+            motion=jnp.zeros((cap, 3 * cfg.rank_motion))
+            if cfg.enable_spacetime
+            else None,
+            omega=jnp.zeros((cap, 4 * cfg.rank_omega))
+            if cfg.enable_spacetime
+            else None,
+            trbf_center=jnp.zeros((cap, 1)) if cfg.enable_spacetime else None,
+            trbf_scale=jnp.full((cap, 1), cfg.trbfslinit)
+            if cfg.enable_spacetime
+            else None,
+            delta_xyz=jnp.zeros((cap, cfg.num_frames, 3))
+            if cfg.enable_dynamic
+            else None,
+            delta_rot=jnp.zeros((cap, cfg.num_frames, 4))
+            if cfg.enable_dynamic
+            else None,
+        )
+        return base.replace(params=st, adam=init_adam(st))
+
+    def init_deformation(self, key):
+        if not self.cfg.enable_deformation:
+            return None
+        return init_deformation_params(key, self.deformation_cfg)
+
+    def lr_tree(self, step: int) -> SpacetimeParams:
+        from ..utils.config import C
+
+        base = super().lr_tree(step)
+        cfg = self.cfg
+
+        def c(v):
+            return jnp.asarray(C(v, 0, step, interpolation="exp"), jnp.float32)
+
+        return SpacetimeParams(
+            xyz=base.xyz,
+            features_dc=base.features_dc,
+            features_rest=base.features_rest,
+            scaling=base.scaling,
+            rotation=base.rotation,
+            opacity=base.opacity,
+            normal=base.normal,
+            motion=c(cfg.move_lr) if cfg.enable_spacetime else None,
+            omega=c(cfg.omega_lr) if cfg.enable_spacetime else None,
+            trbf_center=c(cfg.trbfc_lr) if cfg.enable_spacetime else None,
+            trbf_scale=c(cfg.trbfs_lr) if cfg.enable_spacetime else None,
+            delta_xyz=c(cfg.delta_xyz_lr) if cfg.enable_dynamic else None,
+            delta_rot=c(cfg.delta_rot_lr) if cfg.enable_dynamic else None,
+        )
+
+    def get_timed_all(self, gauss, timestamp, frame_idx=None, deformation_params=None):
+        return get_timed_all(
+            gauss.params, self.cfg, timestamp, frame_idx,
+            deformation_params, self.deformation_cfg,
+        )
+
+    # -- temporal PLY (reference :880-1117) --------------------------------
+    def save_ply(self, state: GaussianState, path: str) -> None:
+        alive = np.asarray(state.alive)
+        p = state.params
+        ply_io.save_gaussian_ply(
+            path,
+            xyz=np.asarray(p.xyz)[alive],
+            features_dc=np.asarray(p.features_dc)[alive],
+            features_rest=np.asarray(p.features_rest)[alive],
+            opacity=np.asarray(p.opacity)[alive],
+            scaling=np.asarray(p.scaling)[alive],
+            rotation=np.asarray(p.rotation)[alive],
+        )
+        # temporal attributes ride in a sidecar table with the reference's
+        # column names (motion_i, omega_i, trbf_center/scale, delta_*_t{i})
+        extra_cols: Dict[str, np.ndarray] = {}
+        if p.motion is not None:
+            m = np.asarray(p.motion)[alive]
+            for i in range(m.shape[1]):
+                extra_cols[f"motion_{i}"] = m[:, i]
+        if p.omega is not None:
+            o = np.asarray(p.omega)[alive]
+            for i in range(o.shape[1]):
+                extra_cols[f"omega_{i}"] = o[:, i]
+        if p.trbf_center is not None:
+            extra_cols["trbf_center"] = np.asarray(p.trbf_center)[alive, 0]
+            extra_cols["trbf_scale"] = np.asarray(p.trbf_scale)[alive, 0]
+        if p.delta_xyz is not None:
+            d = np.asarray(p.delta_xyz)[alive]
+            r = np.asarray(p.delta_rot)[alive]
+            for t in range(d.shape[1]):
+                for j, ax in enumerate("xyz"):
+                    extra_cols[f"delta_xyz_t{t}_{ax}"] = d[:, t, j]
+                for j in range(4):
+                    extra_cols[f"delta_rot_t{t}_{j}"] = r[:, t, j]
+        if extra_cols:
+            self._save_extra(path + ".temporal.npz", extra_cols)
+
+    @staticmethod
+    def _save_extra(path: str, cols: Dict[str, np.ndarray]) -> None:
+        np.savez(path, **cols)
+
+    @staticmethod
+    def load_extra(path: str) -> Dict[str, np.ndarray]:
+        data = np.load(path)
+        return {k: data[k] for k in data.files}

@@ -15,27 +15,38 @@ _EPS = 1e-8
 
 
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle (…, 3) -> unit quaternion (…, 4) wxyz."""
-    angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    """Axis-angle (…, 3) -> unit quaternion (…, 4) wxyz.
+
+    Gradient-safe at phi = 0 via the double-where pattern: the norm (whose
+    gradient is phi/|phi|, NaN at zero) is only evaluated on safe inputs."""
+    sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(safe_sq)
     half = 0.5 * angle
-    # sinc-safe: sin(x/2)/x -> 0.5 as x -> 0
-    small = angle < 1e-6
-    k = jnp.where(small, 0.5 - angle * angle / 48.0, jnp.sin(half) / jnp.maximum(angle, _EPS))
-    w = jnp.cos(half)
+    k_large = jnp.sin(half) / angle
+    k = jnp.where(small, 0.5 - sq / 48.0, k_large)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
     return jnp.concatenate([w, phi * k], axis=-1)
 
 
 def so3_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion (…, 4) wxyz -> axis-angle (…, 3), |angle| <= pi."""
+    """Unit quaternion (…, 4) wxyz -> axis-angle (…, 3), |angle| <= pi.
+
+    Gradient-safe at the identity (double-where on the vector norm)."""
     q = quaternion.normalize(q)
     # force w >= 0 for the principal branch
     q = jnp.where(q[..., :1] < 0, -q, q)
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     vec = q[..., 1:]
-    sin_half = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    sq = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, sq)
+    sin_half = jnp.sqrt(safe_sq)
     angle = 2.0 * jnp.arctan2(sin_half, w)
-    small = sin_half < 1e-6
-    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), angle / jnp.maximum(sin_half, _EPS))
+    k_large = angle / sin_half
+    # Taylor: 2/w * (1 - sq/(3 w^2) ...) ~ 2 + O(sq); grads stay finite
+    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS) - 2.0 * sq / 3.0, k_large)
     return vec * k
 
 
@@ -44,13 +55,14 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     left-Jacobian translation coupling."""
     rho, phi = xi[..., :3], xi[..., 3:]
     q = so3_exp(phi)
-    angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    small = angle < 1e-6
-    a2 = angle * angle
+    a2_raw = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small = a2_raw < 1e-12
+    a2 = jnp.where(small, 1.0, a2_raw)
+    angle = jnp.sqrt(a2)
     # V = I + (1-cos)/a^2 [phi]x + (a - sin a)/a^3 [phi]x^2
-    c1 = jnp.where(small, 0.5 - a2 / 24.0, (1.0 - jnp.cos(angle)) / jnp.maximum(a2, _EPS))
+    c1 = jnp.where(small, 0.5 - a2_raw / 24.0, (1.0 - jnp.cos(angle)) / a2)
     c2 = jnp.where(
-        small, 1.0 / 6.0 - a2 / 120.0, (angle - jnp.sin(angle)) / jnp.maximum(a2 * angle, _EPS)
+        small, 1.0 / 6.0 - a2_raw / 120.0, (angle - jnp.sin(angle)) / (a2 * angle)
     )
     px = jnp.cross(phi, rho)
     ppx = jnp.cross(phi, px)
@@ -62,15 +74,16 @@ def se3_log(tq: jnp.ndarray) -> jnp.ndarray:
     """(…, 7) [t, q_wxyz] -> twist (…, 6) [rho, phi]."""
     t, q = tq[..., :3], tq[..., 3:]
     phi = so3_log(q)
-    angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    small = angle < 1e-6
-    a2 = angle * angle
+    a2_raw = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small = a2_raw < 1e-12
+    a2 = jnp.where(small, 1.0, a2_raw)
+    angle = jnp.sqrt(a2)
     half = 0.5 * angle
     # V^-1 = I - 0.5 [phi]x + (1/a^2 - cot(a/2)/(2a)) [phi]x^2
     cot_term = jnp.where(
         small,
-        1.0 / 12.0 + a2 / 720.0,
-        (1.0 / jnp.maximum(a2, _EPS))
+        1.0 / 12.0 + a2_raw / 720.0,
+        (1.0 / a2)
         - jnp.cos(half) / jnp.maximum(2.0 * angle * jnp.sin(half), _EPS),
     )
     px = jnp.cross(phi, t)

@@ -215,6 +215,7 @@ class GaussianRendererBase:
         override_color=None,
         ambient_ratio=None,
         shading: Optional[str] = None,
+        deformation_params=None,
     ) -> Dict[str, Any]:
         c2w = batch["c2w"]
         bs = c2w.shape[0]
@@ -259,6 +260,8 @@ class GaussianRendererBase:
                     override_color=override_color,
                     ambient_ratio=ambient_ratio,
                     shading=shading,
+                    **({"deformation_params": deformation_params}
+                       if deformation_params is not None else {}),
                 )
             )
 

@@ -1,0 +1,91 @@
+"""Temporal (4D) rasterizer: `diff-gaussian-rasterizer-spacetime`
+(reference renderer/diff_gaussian_rasterizer_st.py:25-165).
+
+Per view: evaluate the spacetime field at the camera's timestamp/frame index
+(polynomial / per-frame / deformation / spline motion, see models/spacetime),
+then rasterize with precomputed colors -- the reference's quirk of rendering
+SH2RGB(f_dc) as colors_precomp is preserved."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gaussian_field as gf
+from ..ops import camera as cam_ops
+from ..ops.rasterizer import RasterizeConfig, rasterize
+from ..utils.registry import register
+from .gaussian import GaussianRendererBase
+
+
+@register("diff-gaussian-rasterizer-spacetime")
+class DiffGaussianRasterizerSpacetime(GaussianRendererBase):
+    with_depth = True
+    with_mask = True
+
+    def render_one(
+        self,
+        gauss,
+        camera: cam_ops.Camera,
+        *,
+        bg_params=None,
+        rays_o=None,
+        rays_d=None,
+        light_positions=None,
+        key=None,
+        ambient_only=None,
+        training: bool = False,
+        color_clip: float = float("inf"),
+        means2d_offset=None,
+        override_color=None,
+        scaling_modifier: float = 1.0,
+        ambient_ratio=None,
+        shading: Optional[str] = None,
+        deformation_params=None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        geo = self.geometry
+
+        base_bg = jnp.asarray(cfg.back_ground_color, jnp.float32)
+        if training and key is not None:
+            key, sub = jax.random.split(key)
+            invert = jax.random.uniform(sub) > cfg.invert_bg_prob
+            kernel_bg = jnp.where(invert, 1.0 - base_bg, base_bg)
+        else:
+            kernel_bg = 1.0 - base_bg
+
+        timestamp = camera.timestamp if camera.timestamp is not None else 0.0
+        frame_idx = camera.frame_idx if camera.frame_idx is not None else 0
+
+        means3d, scales, rotations, opacity, colors = geo.get_timed_all(
+            gauss, timestamp, frame_idx, deformation_params
+        )
+        if override_color is not None:
+            colors = override_color
+
+        out = rasterize(
+            means3d,
+            scales,
+            rotations,
+            opacity[:, 0],
+            camera,
+            kernel_bg,
+            colors=colors,
+            alive=gauss.alive,
+            means2d_offset=means2d_offset,
+            scaling_modifier=scaling_modifier,
+            with_depth=True,
+            config=RasterizeConfig(
+                tile_size=cfg.tile_size, max_pairs=cfg.max_pairs, impl=cfg.impl
+            ),
+        )
+        return {
+            "render": jnp.clip(out["image"], 0.0, 1.0),
+            "radii": out["radii"],
+            "visibility_filter": out["visibility"],
+            "n_dropped": out["n_dropped"],
+            "mask": out["alpha"],
+            "depth": out["depth"],
+        }
