@@ -94,18 +94,21 @@ def make_dp_train_step(
         )
         return g_gauss, g_extra, radii, vis_sum, grad_sum, logs
 
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-
-    sharded_grads = shard_map(
-        per_device_grads,
+    specs = dict(
         mesh=mesh,
         in_specs=(replicated, replicated, replicated, sharded, replicated, replicated),
-        out_specs=(replicated, replicated, replicated, replicated, replicated, replicated),
-        check_rep=False,
+        out_specs=(
+            replicated, replicated, replicated, replicated, replicated, replicated,
+        ),
     )
+    try:
+        from jax.experimental.shard_map import shard_map
+
+        sharded_grads = shard_map(per_device_grads, check_rep=False, **specs)
+    except (ImportError, TypeError):
+        from jax import shard_map
+
+        sharded_grads = shard_map(per_device_grads, check_vma=False, **specs)
 
     def step(state: SystemState, dev_batch: Dict[str, Any], key, sched):
         g_gauss, g_extra, radii_max, vis_sum, grad_sum, logs = sharded_grads(
