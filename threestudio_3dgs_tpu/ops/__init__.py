@@ -1,1 +1,1 @@
-from . import quaternion, sh, gaussian_math, camera, knn, lie, spline, dual_quaternion, arap, image  # noqa: F401
+from . import quaternion, sh, gaussian_math, camera, knn, lie, spline, dual_quaternion, arap, image, mesh, sugar_reg  # noqa: F401

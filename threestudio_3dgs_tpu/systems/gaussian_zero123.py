@@ -137,6 +137,10 @@ class Zero123System(BaseGaussianSystem):
             return ls * self.loss_lambda(sched, "lambda_normal_smooth")
         return jnp.float32(0.0)
 
+    def extra_substep_losses(self, gs, batch, sched, key, logs, out_ref):
+        """Hook for subclasses (e.g. SuGaR gaussian-stage regularizers)."""
+        return jnp.float32(0.0)
+
     # ------------------------------------------------------------------
     def _train_step_impl(
         self, sig, state, batch, key, sched
@@ -185,6 +189,10 @@ class Zero123System(BaseGaussianSystem):
                 loss_ref = self._ref_losses(out_ref, batch, sched, logs)
                 loss_ref = loss_ref + self._normal_smooth_loss(
                     out_ref, sched, logs, "ref"
+                )
+                k, k_x = jax.random.split(k)
+                loss_ref = loss_ref + self.extra_substep_losses(
+                    gs, batch, sched, k_x, logs, out_ref
                 )
                 total = total + loss_ref
                 out_stats = out_ref

@@ -1,0 +1,248 @@
+"""SuGaR 4D system: motion-stage training of dynamic (mesh-bound) Gaussians
+(reference system/sugar_4dgen.py:33-788).
+
+Per iteration: temporal-SDS substep on random cameras x sampled frames, a
+reference substep on the fixed camera across frames (rgb/mask + PSNR metric
++ per-frame mesh normal-consistency and laplacian, reference :234-250),
+ARAP energy between the canonical and timed meshes on key and
+densely-sampled inter-frame timestamps (reference :321-328,391-393,412-421),
+and a reference-frame anchor (lambda_ref_xyz, reference :304-307).
+
+Spline control knots are the per-frame node transforms and stay inside the
+jitted graph (the reference recomputes them host-side every step,
+:423-427)."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.optim import adam_update, init_adam
+from ..ops import mesh as mesh_ops
+from ..ops.arap import arap_energy, cotangent_weights
+from ..utils.loss import psnr
+from ..utils.registry import register
+from .base import SystemState, to_device_batch
+from .gaussian_zero123 import Zero123System
+from .sugar_static import SugarStaticConfig
+
+
+@dataclasses.dataclass
+class Sugar4DGenConfig(SugarStaticConfig):
+    stage: str = "motion"
+    num_inter_frames: int = 10
+    length_inter_frames: float = 0.2
+    guidance_zero123_type: Optional[str] = None
+    guidance_zero123: dict = dataclasses.field(default_factory=dict)
+    guidance_2d_type: Optional[str] = None
+    guidance_2d: dict = dataclasses.field(default_factory=dict)
+    prompt_processor_2d_type: Optional[str] = None
+    prompt_processor_2d: dict = dataclasses.field(default_factory=dict)
+    prompt_processor_3d_type: Optional[str] = None
+    guidance_3d_type: Optional[str] = None
+
+
+@register("sugar-4dgen-system")
+class Sugar4DGenSystem(Zero123System):
+    Config = Sugar4DGenConfig
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        from ..utils.registry import find
+
+        if self.cfg.guidance_zero123_type:
+            self.guidance = find(self.cfg.guidance_zero123_type)(
+                self.cfg.guidance_zero123
+            )
+        self.guidance_2d = (
+            find(self.cfg.guidance_2d_type)(self.cfg.guidance_2d)
+            if self.cfg.guidance_2d_type
+            else None
+        )
+        self._arap_weights = None
+
+    def attach_video_frames(self, frames: np.ndarray):
+        if hasattr(self.guidance, "prepare_embeddings"):
+            self.guidance.prepare_embeddings(frames)
+
+    def bind_mesh(self, verts, faces, colors=None):
+        self.geometry.bind_mesh(verts, faces, colors)
+
+    def init_state(self, seed: int = 0) -> SystemState:
+        sugar_state = self.geometry.init_state(seed)
+        key = jax.random.PRNGKey(seed)
+        extra: Dict[str, Any] = {}
+        if self.background is not None and hasattr(self.background, "init_params"):
+            params = self.background.init_params(key)
+            if params:
+                extra["background"] = params
+        if self.geometry.cfg.dynamic_mode == "deformation":
+            from ..models.deformation import (
+                DeformationConfig,
+                init_deformation_params,
+            )
+
+            extra["deformation"] = init_deformation_params(
+                jax.random.PRNGKey(seed + 1), DeformationConfig()
+            )
+        return SystemState(
+            gauss=sugar_state, extra_params=extra, extra_opt=init_adam(extra)
+        )
+
+    # -- regularizers --------------------------------------------------------
+    def _mesh_motion_losses(self, ss, ep, batch, sched, key, logs):
+        loss = jnp.float32(0.0)
+        topo = self.geometry.topology
+        deformation = ep.get("deformation")
+        timestamps = batch.get("timestamp")
+        t0 = timestamps[0] if timestamps is not None else jnp.float32(0.0)
+        f0 = batch["frame_indices"][0] if "frame_indices" in batch else 0
+
+        verts_t = self.geometry.timed_vertices(ss, t0, f0, deformation)
+        nbr_idx = jnp.asarray(topo.vert_nbr_idx)
+        nbr_mask = jnp.asarray(topo.vert_nbr_mask)
+
+        if self.has_loss("lambda_normal_consistency"):
+            nc = mesh_ops.normal_consistency_loss(
+                verts_t, ss.faces, jnp.asarray(topo.edge_faces)
+            )
+            logs["train/loss_normal_consistency"] = nc
+            loss = loss + nc * self.loss_lambda(sched, "lambda_normal_consistency")
+        if self.has_loss("lambda_laplacian_smoothing"):
+            lap = mesh_ops.laplacian_smoothing_loss(verts_t, nbr_idx, nbr_mask)
+            logs["train/loss_laplacian_smoothing"] = lap
+            loss = loss + lap * self.loss_lambda(
+                sched, "lambda_laplacian_smoothing"
+            )
+
+        if self.has_loss("lambda_arap_reg") or self.has_loss(
+            "lambda_full_arap_reg"
+        ):
+            # ARAP between the canonical mesh and a random inter-frame time
+            # (reference :321-328,391-421)
+            k1, key = jax.random.split(key)
+            t_rand = jax.random.uniform(k1)
+            verts_r = self.geometry.timed_vertices(ss, t_rand, f0, deformation)
+            e = arap_energy(
+                ss.params.points, verts_r, nbr_idx, nbr_mask,
+                weights=self._arap_weights,
+            ) / ss.params.points.shape[0]
+            logs["train/loss_arap_reg"] = e
+            lam = sched["lambdas"].get(
+                "lambda_arap_reg",
+                sched["lambdas"].get("lambda_full_arap_reg", jnp.float32(0.0)),
+            )
+            loss = loss + e * lam
+
+        if self.has_loss("lambda_ref_xyz"):
+            anchor = jnp.mean(jnp.sum((verts_t - ss.params.points) ** 2, axis=-1))
+            logs["train/loss_ref_xyz"] = anchor
+            loss = loss + anchor * self.loss_lambda(sched, "lambda_ref_xyz")
+        return loss
+
+    # -- train step ----------------------------------------------------------
+    def _train_step_impl(self, sig, state, batch, key, sched):
+        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig
+        sugar_state = state.gauss
+
+        def loss_fn(params, ep):
+            ss = sugar_state.replace(params=params)
+            logs: Dict[str, Any] = {}
+            total = jnp.float32(0.0)
+            out_stats = None
+            k = key
+            if do_z and "random_camera" in batch:
+                rcb = batch["random_camera"]
+                k, k_r, k_g = jax.random.split(k, 3)
+                out_z = self._render(ss, ep, rcb, hrc, wrc, k_r, sched)
+                guidance_out = self.guidance(
+                    out_z["comp_rgb"], self.prompt_utils, rcb,
+                    key=k_g, sched=sched.get("guidance"),
+                )
+                logs["train/loss_zero123_sds"] = guidance_out["loss_sds"]
+                lam = sched["lambdas"].get(
+                    "lambda_sds_zero123",
+                    sched["lambdas"].get("lambda_sds", jnp.float32(0.0)),
+                )
+                total = total + guidance_out["loss_sds"] * lam
+                out_stats = out_z
+            if do_ref:
+                k, k_r = jax.random.split(k)
+                out_ref = self._render(ss, ep, batch, h, w, k_r, sched)
+                total = total + self._ref_losses(out_ref, batch, sched, logs)
+                logs["train/psnr"] = psnr(
+                    out_ref["comp_rgb"] * batch["mask"],
+                    batch["rgb"] * batch["mask"],
+                )
+                out_stats = out_ref
+            k, k_m = jax.random.split(k)
+            total = total + self._mesh_motion_losses(
+                ss, ep, batch, sched, k_m, logs
+            )
+            logs["train/loss_total"] = total
+            return total, (out_stats, logs)
+
+        (g_params, g_extra), (out, logs) = jax.grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(sugar_state.params, state.extra_params)
+
+        new_params, new_adam = adam_update(
+            sugar_state.params, g_params, sugar_state.adam, sched["lrs"]
+        )
+        new_sugar = sugar_state.replace(params=new_params, adam=new_adam)
+        if state.extra_params:
+            lr_tree = jax.tree_util.tree_map(
+                lambda _: sched["extra_lr"], state.extra_params
+            )
+            new_extra, new_opt = adam_update(
+                state.extra_params, g_extra, state.extra_opt, lr_tree, eps=1e-8
+            )
+        else:
+            new_extra, new_opt = state.extra_params, state.extra_opt
+        return (
+            SystemState(gauss=new_sugar, extra_params=new_extra, extra_opt=new_opt),
+            logs,
+        )
+
+    def _render(self, ss, ep, batch, height, width, key, sched):
+        b = dict(batch)
+        b["height"], b["width"] = height, width
+        return self.renderer.batch_forward(
+            ss,
+            b,
+            bg_params=ep.get("background") if ep else None,
+            key=key,
+            ambient_only=sched.get("ambient_only") if sched else None,
+            training=True,
+            color_clip=sched["color_clip"] if sched else jnp.float32(1e9),
+            deformation_params=ep.get("deformation") if ep else None,
+        )
+
+    def sched_scalars(self, step: int):
+        sched = super().sched_scalars(step)
+        sched["lrs"] = self.geometry.lr_tree(step)
+        return sched
+
+    def train_step(self, state, batch, step: int, key):
+        dev_batch = to_device_batch(batch)
+        sched = self.sched_scalars(step)
+        bs = int(np.asarray(batch["c2w"]).shape[0])
+        h, wd = int(batch["height"]), int(batch["width"])
+        rc = batch.get("random_camera")
+        do_ref, do_z = self._substep_mode(step)
+        if rc is not None:
+            bsrc = int(np.asarray(rc["c2w"]).shape[0])
+            hrc, wrc = int(rc["height"]), int(rc["width"])
+        else:
+            bsrc, hrc, wrc = 0, 0, 0
+            do_z = False
+        sig = (h, wd, bs, hrc, wrc, bsrc, do_ref, do_z)
+        if sig not in self._train_jit:
+            self._train_jit[sig] = jax.jit(partial(self._train_step_impl, sig))
+        state, logs = self._train_jit[sig](state, dev_batch, key, sched)
+        return state, logs
