@@ -402,3 +402,12 @@ class RandomCameraDataModule:
 @register("random-camera-sugar-datamodule")
 class RandomCameraSugarDataModule(RandomCameraDataModule):
     """Alias used by the SuGaR configs (reference data/uncond.py:650)."""
+
+
+@register("mvdream-random-multiview-camera-datamodule")
+@register("random-multiview-camera-datamodule")
+class RandomMultiviewCameraDataModule(RandomCameraDataModule):
+    """Multi-view batches for MVDream/ImageDream: n_view azimuth-spread
+    cameras per scene sample (provided upstream by the mvdream extension;
+    here the batch_uniform_azimuth sampler already yields the evenly-spread
+    azimuth set, so the random-camera module covers the contract)."""
