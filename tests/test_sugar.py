@@ -2,6 +2,7 @@
 regularizer math, dynamic skinning, and end-to-end smoke runs for the static
 refinement and 4D motion stages."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -322,3 +323,45 @@ class TestSugarStaticEndToEnd:
         assert np.isfinite(float(logs["train/loss_total"]))
         # mesh vertices moved (learnable positions)
         assert not np.allclose(np.asarray(state.gauss.params.points), v0)
+
+
+class TestTextureBake:
+    def test_bake_and_save(self, tmp_path):
+        from threestudio_3dgs_tpu.models.texture_bake import (
+            bake_texture,
+            build_point_uv_atlas,
+            save_textured_obj,
+        )
+        from threestudio_3dgs_tpu.ops.camera import camera_from_c2w
+
+        model = make_model(1)
+        state = model.init_state(0)
+        from threestudio_3dgs_tpu.models.sugar import gaussian_positions
+
+        xyz = np.asarray(gaussian_positions(state.params, state.faces, state.bary))
+        normals = np.asarray(
+            mesh_ops.face_normals(state.params.points, state.faces)
+        )
+        # one synthetic view: solid red image from the front
+        eye = np.array([0.0, -3.0, 0.0])
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
+        cam = camera_from_c2w(jnp.asarray(c2w), 0.8, 0.8, 64, 64)
+        rgb = np.zeros((64, 64, 3), np.float32)
+        rgb[..., 0] = 1.0
+        renders = [{"rgb": rgb, "depth": None, "camera": cam}]
+        texture, uv = bake_texture(xyz, normals, renders, square_size=4)
+        assert np.isfinite(texture).all()
+        # front-facing gaussians got red; texture contains red squares
+        assert (texture[..., 0] > 0.9).any()
+        path = str(tmp_path / "baked.obj")
+        face_idx = np.arange(len(np.asarray(state.faces)))
+        save_textured_obj(
+            path, np.asarray(state.params.points), np.asarray(state.faces),
+            face_idx, uv, texture,
+        )
+        assert os.path.exists(path)
+        assert os.path.exists(str(tmp_path / "baked.png"))

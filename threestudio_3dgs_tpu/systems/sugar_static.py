@@ -307,6 +307,19 @@ class SugarStaticSystem(Zero123System):
             color_clip=sched["color_clip"] if sched else jnp.float32(1e9),
         )
 
+    def predict_textured_mesh(self, state, views, out_path: str):
+        """--predict: bake a textured OBJ (reference system/base.py:72-323)."""
+        from ..models.texture_bake import extract_textured_mesh
+
+        return extract_textured_mesh(
+            self.geometry,
+            state.gauss,
+            lambda vs: self.render_views(state, vs),
+            views,
+            out_path,
+            square_size=self.geometry.cfg.square_size_in_texture,
+        )
+
     # sugar stage has no densify; the zero123 base handles the gaussian stage
     def _update_structures(self, state, step, key):
         if self.cfg.stage == "sugar":
