@@ -37,6 +37,7 @@ from .preprocess import Projected
 class Binning(NamedTuple):
     pair_gauss: jnp.ndarray  # (P,) int32 original Gaussian index, tile order
     pair_gm: jnp.ndarray  # (P,) int32 tile-order -> gaussian-major pair index
+    slot: jnp.ndarray  # (P,) int32 depth-rank (sorted-gaussian) per gm pair
     inv_perm: jnp.ndarray  # (P,) int32 gaussian-major -> tile-order position
     tile_ranges: jnp.ndarray  # (T + 1,) int32; tile t owns [r[t], r[t+1])
     offsets: jnp.ndarray  # (N,) int32 exclusive pair offsets, depth order
@@ -83,15 +84,22 @@ def bin_gaussians(
     n_pairs = jnp.minimum(total, max_pairs)
     n_dropped = total - n_pairs
 
-    # ---- expand: pair p -> depth-rank slot, via scatter-max + cummax -----
-    # mark[offsets[i]] = i (ties: max i wins = the rule "last gaussian whose
-    # offset <= p", identical to searchsorted(side='right') - 1)
-    marks = (
-        jnp.zeros(max_pairs, jnp.int32)
-        .at[offsets]
-        .max(iota_n, mode="drop", unique_indices=False)
-    )
-    slot = jax.lax.cummax(marks)
+    # ---- expand: pair p -> depth-rank slot -------------------------------
+    if jax.default_backend() == "tpu" and max_pairs % 1024 == 0:
+        # one-pass Pallas merge scan (see expand_pallas)
+        from .expand_pallas import expand_slots_pallas
+
+        slot = expand_slots_pallas(offsets, max_pairs)
+    else:
+        # scatter-max + cummax: mark[offsets[i]] = i (ties: max i wins = the
+        # rule "last gaussian whose offset <= p", identical to
+        # searchsorted(side='right') - 1)
+        marks = (
+            jnp.zeros(max_pairs, jnp.int32)
+            .at[offsets]
+            .max(iota_n, mode="drop", unique_indices=False)
+        )
+        slot = jax.lax.cummax(marks)
 
     # ---- per-pair tile ----------------------------------------------------
     g = depth_order[slot]
@@ -123,6 +131,7 @@ def bin_gaussians(
     return Binning(
         pair_gauss=pair_gauss,
         pair_gm=pair_gm,
+        slot=slot,
         inv_perm=inv_perm,
         tile_ranges=tile_ranges,
         offsets=offsets,
@@ -144,21 +153,35 @@ def _gather_fwd_impl(feats, binning):
 
 
 def _gather_bwd_impl(binning, d_pairs):
-    """Transpose of the pair gather without any scatter-add:
-    permute grads to gaussian-major order (gather by inv_perm), reduce each
-    Gaussian's contiguous pair range via prefix-sum differences, then undo
-    the depth sort (gather by rank)."""
+    """Transpose of the pair gather without any scatter-add: permute grads to
+    gaussian-major order (gather by inv_perm), reduce each Gaussian's
+    contiguous pair range, then undo the depth sort (gather by rank).
+
+    On TPU the contiguous-range reduction runs as a one-pass Pallas
+    monotone segmented sum (~7x faster than the cumsum+gather-diff
+    fallback used elsewhere)."""
     p_total = d_pairs.shape[0]
+    n = binning.offsets.shape[0]
     d_gm = d_pairs[binning.inv_perm]
     # zero out the invalid tail (pairs >= n_pairs carry garbage rows)
     valid = (jnp.arange(p_total, dtype=jnp.int32) < binning.n_pairs)[:, None]
     d_gm = jnp.where(valid, d_gm, 0.0)
-    prefix = jnp.concatenate(
-        [jnp.zeros((1, d_pairs.shape[1]), d_pairs.dtype), jnp.cumsum(d_gm, axis=0)]
-    )
-    lo = jnp.clip(binning.offsets, 0, binning.n_pairs)
-    hi = jnp.clip(binning.offsets + binning.counts, 0, binning.n_pairs)
-    d_sorted = prefix[hi] - prefix[lo]  # (N, F), depth order
+    if jax.default_backend() == "tpu":
+        from .segsum_pallas import segsum_monotone_pallas
+
+        d_sorted = segsum_monotone_pallas(
+            d_gm, binning.slot, binning.n_pairs, n
+        )
+    else:
+        prefix = jnp.concatenate(
+            [
+                jnp.zeros((1, d_pairs.shape[1]), d_pairs.dtype),
+                jnp.cumsum(d_gm, axis=0),
+            ]
+        )
+        lo = jnp.clip(binning.offsets, 0, binning.n_pairs)
+        hi = jnp.clip(binning.offsets + binning.counts, 0, binning.n_pairs)
+        d_sorted = prefix[hi] - prefix[lo]  # (N, F), depth order
     return d_sorted[binning.inv_depth_order]
 
 

@@ -275,74 +275,87 @@ def _bwd_kernel(
             merge[...] = jnp.zeros(merge.shape, merge.dtype)
 
         copy.wait()
-        feats = scratch[...]
         live = jnp.max(raw) >= T_EPS
 
-        pmask = jnp.logical_and(gid >= start, gid < end)
-        alpha, gauss, dx, dy, unclamped = _block_alpha(feats, px, py, pmask)
-        om = 1.0 - alpha
-        cum_incl = raw * _cumprod_lane(om)
-        include = cum_incl >= T_EPS
-        rolled = pltpu.roll(cum_incl, 1, axis=1)
-        cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
-        w = jnp.where(include, alpha * cum_excl, 0.0)
+        # dead blocks (every pixel's transmittance below threshold -- the
+        # forward early-exited here) skip all math: their grads are zero.
+        # This is where most of the backward's time went on saturated scenes.
+        def live_branch(_):
+            feats = scratch[...]
+            pmask = jnp.logical_and(gid >= start, gid < end)
+            alpha, gauss, dx, dy, unclamped = _block_alpha(feats, px, py, pmask)
+            om = 1.0 - alpha
+            cum_incl = raw * _cumprod_lane(om)
+            include = cum_incl >= T_EPS
+            rolled = pltpu.roll(cum_incl, 1, axis=1)
+            cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
+            w = jnp.where(include, alpha * cum_excl, 0.0)
 
-        colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
-        # u_i = <colors_i, g> + g_alpha : (npix, BLOCK) via MXU
-        u = (
-            jax.lax.dot_general(
+            colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
+            # u_i = <colors_i, g> + g_alpha : (npix, BLOCK) via MXU
+            u = (
+                jax.lax.dot_general(
+                    g_colors,
+                    colors,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                + g_alpha
+            )
+            uw = u * w
+            prefix_inc = prefix + _cumsum_lane(uw)
+            suffix = u_tot - prefix_inc
+
+            d_alpha = jnp.where(
+                include, u * cum_excl - suffix / jnp.maximum(om, 1e-6), 0.0
+            )
+            d_gauss_term = jnp.where(unclamped, d_alpha, 0.0)
+            opa = feats[5:6, :]
+            d_power = opa * gauss * d_gauss_term
+            keep = jnp.where(pmask, 1.0, 0.0)  # (1, BLOCK)
+            d_opa = jnp.sum(gauss * d_gauss_term, axis=0, keepdims=True)
+            ca = feats[2:3, :]
+            cb = feats[3:4, :]
+            cc = feats[4:5, :]
+            d_dx = d_power * (-(ca * dx + cb * dy))
+            d_dy = d_power * (-(cc * dy + cb * dx))
+            d_x = -jnp.sum(d_dx, axis=0, keepdims=True)
+            d_y = -jnp.sum(d_dy, axis=0, keepdims=True)
+            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+            d_colors = jax.lax.dot_general(
                 g_colors,
-                colors,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
+            )  # (C, BLOCK)
+            pad = scratch.shape[0] - 6 - n_channels
+            d_all = jnp.concatenate(
+                [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_colors]
+                + ([jnp.zeros((pad, BLOCK))] if pad else []),
+                axis=0,
+            ) * keep
+            return (
+                d_all,
+                cum_incl[:, BLOCK - 1 : BLOCK],
+                prefix_inc[:, BLOCK - 1 : BLOCK],
             )
-            + g_alpha
-        )
-        uw = u * w
-        prefix_inc = prefix + _cumsum_lane(uw)
-        suffix = u_tot - prefix_inc
 
-        d_alpha = jnp.where(
-            include, u * cum_excl - suffix / jnp.maximum(om, 1e-6), 0.0
-        )
-        d_gauss_term = jnp.where(unclamped, d_alpha, 0.0)
-        opa = feats[5:6, :]
-        d_power = opa * gauss * d_gauss_term
-        keep = jnp.where(jnp.logical_and(pmask, live), 1.0, 0.0)  # (1, BLOCK)
-        d_opa = jnp.sum(gauss * d_gauss_term, axis=0, keepdims=True)
-        ca = feats[2:3, :]
-        cb = feats[3:4, :]
-        cc = feats[4:5, :]
-        d_dx = d_power * (-(ca * dx + cb * dy))
-        d_dy = d_power * (-(cc * dy + cb * dx))
-        d_x = -jnp.sum(d_dx, axis=0, keepdims=True)
-        d_y = -jnp.sum(d_dy, axis=0, keepdims=True)
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-        d_colors = jax.lax.dot_general(
-            g_colors,
-            w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (C, BLOCK)
+        def dead_branch(_):
+            return jnp.zeros(scratch.shape, jnp.float32), raw, prefix
 
-        dscratch[0:1, :] = d_x * keep + merge[0:1, :]
-        dscratch[1:2, :] = d_y * keep + merge[1:2, :]
-        dscratch[2:3, :] = d_ca * keep + merge[2:3, :]
-        dscratch[3:4, :] = d_cb * keep + merge[3:4, :]
-        dscratch[4:5, :] = d_cc * keep + merge[4:5, :]
-        dscratch[5:6, :] = d_opa * keep + merge[5:6, :]
-        dscratch[6 : 6 + n_channels, :] = (
-            d_colors * keep + merge[6 : 6 + n_channels, :]
+        d_all, new_raw, new_prefix = jax.lax.cond(
+            live, live_branch, dead_branch, None
         )
+        dscratch[...] = d_all + merge[...]
         wcopy = pltpu.make_async_copy(dscratch, dfeats_hbm.at[b], sem_out)
         wcopy.start()
         wcopy.wait()
 
-        return b + 1, cum_incl[:, BLOCK - 1 : BLOCK], prefix_inc[:, BLOCK - 1 : BLOCK]
+        return b + 1, new_raw, new_prefix
 
     jax.lax.while_loop(
         cond,
