@@ -365,3 +365,16 @@ class TestTextureBake:
         )
         assert os.path.exists(path)
         assert os.path.exists(str(tmp_path / "baked.png"))
+
+
+class TestNativeDecimate:
+    def test_quadric_decimation(self):
+        from threestudio_3dgs_tpu.native import decimate_mesh
+
+        verts, faces = make_sphere_mesh(24, 32)
+        v2, f2 = decimate_mesh(verts, faces, 300)
+        assert len(f2) <= 450
+        r = np.linalg.norm(v2, axis=1)
+        assert 0.5 < r.min() and r.max() < 1.0
+        # output indices valid
+        assert f2.min() >= 0 and f2.max() < len(v2)

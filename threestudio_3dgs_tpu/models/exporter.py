@@ -22,6 +22,7 @@ class MeshExporterConfig:
     fmt: str = "obj"
     resolution: int = 128
     density_thresh: float = 0.8
+    decimate_target: int = 100000  # reference decimates to 1e5 faces
 
 
 @register("gaussian-mesh-exporter")
@@ -53,6 +54,12 @@ class MeshExporter:
             density_thresh=self.cfg.density_thresh,
         )
         if verts is not None and len(verts) > 0:
+            if self.cfg.decimate_target and len(faces) > self.cfg.decimate_target:
+                from ..native import decimate_mesh
+
+                verts, faces = decimate_mesh(
+                    verts, faces, self.cfg.decimate_target
+                )
             obj_path = os.path.join(out_dir, f"{self.cfg.save_name}.obj")
             save_obj(obj_path, verts, faces)
             outputs["obj"] = obj_path
