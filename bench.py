@@ -49,7 +49,7 @@ def main():
     c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
 
     cam = cam_mod.camera_from_c2w(jnp.asarray(c2w), 0.9, 0.9, height, width)
-    cfg = RasterizeConfig(tile_size=32, max_pairs=2**22)
+    cfg = RasterizeConfig(tile_size=32, max_pairs=2**21)
 
     means_j = jnp.asarray(means)
     scales_j = jnp.asarray(scales)
