@@ -249,3 +249,23 @@ class TestUpdateStatesGating:
         assert changed
         _, changed = field.update_states(state, 10, key)  # boundary excluded
         assert not changed
+
+
+class TestCkptWarmStart:
+    def test_geometry_convert_from_ckpt(self, tmp_path):
+        from threestudio_3dgs_tpu.systems.base import SystemState
+        from threestudio_3dgs_tpu.models.optim import init_adam
+        from threestudio_3dgs_tpu.utils.ckpt import save_checkpoint
+
+        state = init_state(small_cfg(), seed=0)
+        sys_state = SystemState(gauss=state, extra_params={}, extra_opt=init_adam({}))
+        path = str(tmp_path / "warm.ckpt.npz")
+        save_checkpoint(path, sys_state, 42)
+        cfg2 = small_cfg(geometry_convert_from=path)
+        state2 = init_state(cfg2)
+        np.testing.assert_allclose(
+            np.asarray(state2.params.xyz), np.asarray(state.params.xyz)
+        )
+        assert int(state2.n_alive) == int(state.n_alive)
+        # fresh optimizer moments
+        assert float(jnp.sum(jnp.abs(state2.adam.mu.xyz))) == 0.0

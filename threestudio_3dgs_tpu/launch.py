@@ -18,6 +18,10 @@ def main(argv=None):
     parser.add_argument("--export", action="store_true")
     parser.add_argument("--gpu", default=None, help="ignored (compat)")
     parser.add_argument("--resume", default=None)
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax.profiler device trace of the first training steps",
+    )
     parser.add_argument("overrides", nargs="*", help="dotlist key=value overrides")
     args = parser.parse_args(argv)
 
@@ -30,7 +34,14 @@ def main(argv=None):
     trainer = Trainer(cfg)
 
     if args.train:
-        trainer.fit(resume=cfg.resume)
+        if args.profile:
+            from .utils.profiling import device_trace
+            import os as _os
+
+            with device_trace(_os.path.join(cfg.trial_dir, "profile")):
+                trainer.fit(resume=cfg.resume)
+        else:
+            trainer.fit(resume=cfg.resume)
         trainer.test()
     elif args.validate:
         trainer.fit(resume=cfg.resume) if trainer.state is None else None

@@ -233,6 +233,25 @@ def init_state(cfg: GaussianFieldConfig, seed: int = 0) -> GaussianState:
     """Build the initial field state per geometry_convert_from
     (reference gaussian_base.py:270-369: .ply load, or random sphere)."""
     src = cfg.geometry_convert_from
+    if src and (src.endswith(".ckpt.npz") or src.endswith(".ckpt")):
+        # warm-start from a saved training state (reference supports .ckpt
+        # warm starts at gaussian_base.py:297-347); our checkpoints hold the
+        # full static-capacity state, so this is a straight load + re-init of
+        # the optimizer moments
+        from ..utils.ckpt import load_checkpoint
+
+        state, _ = load_checkpoint(src)
+        gauss = state.gauss if hasattr(state, "gauss") else state
+        import jax.numpy as _jnp
+
+        return GaussianState(
+            params=jax.tree_util.tree_map(_jnp.asarray, gauss.params),
+            adam=init_adam(gauss.params),
+            alive=_jnp.asarray(gauss.alive),
+            max_radii2d=_jnp.zeros(gauss.alive.shape[0], _jnp.float32),
+            xyz_grad_accum=_jnp.zeros(gauss.alive.shape[0], _jnp.float32),
+            denom=_jnp.zeros(gauss.alive.shape[0], _jnp.float32),
+        )
     if src and src.endswith(".ply"):
         import os
 
