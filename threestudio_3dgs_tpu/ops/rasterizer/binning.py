@@ -105,8 +105,15 @@ def bin_gaussians(
     g = depth_order[slot]
     r = jnp.arange(max_pairs, dtype=jnp.int32) - offsets[slot]
     w = jnp.maximum(rect_w[g], 1)
-    tx = proj.tiles_min[g, 0] + r % w
-    ty = proj.tiles_min[g, 1] + r // w
+    # r // w via f32 reciprocal + one correction step: TPUs have no integer
+    # divide (the jnp.int32 // lowering cost ~100 ms at 2M pairs); rect
+    # dimensions are tiny so f32 is exact after the fixup
+    q = jnp.floor(r.astype(jnp.float32) / w.astype(jnp.float32)).astype(jnp.int32)
+    rem = r - q * w
+    q = jnp.where(rem < 0, q - 1, jnp.where(rem >= w, q + 1, q))
+    rem = r - q * w
+    tx = proj.tiles_min[g, 0] + rem
+    ty = proj.tiles_min[g, 1] + q
     tile_id = ty * grid_x + tx
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = p < n_pairs

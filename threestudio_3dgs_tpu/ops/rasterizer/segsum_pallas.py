@@ -1,20 +1,20 @@
 """Pallas TPU kernel: segmented sum over a monotone (non-decreasing) segment
 id sequence -- the per-Gaussian gradient reduction of the rasterizer backward.
 
-XLA's general paths cost ~100 ms at 4M pairs on v5e (segment_sum lowers to
-serialized scatter-add; the cumsum+gather-diff fallback pays log-pass cumsum
-traffic).  Monotonicity makes a one-pass streaming kernel possible:
+XLA's general paths cost ~100 ms at 2-4M pairs on v5e (segment_sum lowers to
+serialized scatter-add; cumsum+gather-diff pays log-pass traffic).
+Monotonicity enables a one-pass streaming kernel:
 
-  * pairs stream in aligned (F8, 128) blocks (gaussian-major order);
-  * within a block all segment ids lie in [s0, s0 + 127] (every visible
-    Gaussian owns >= 1 consecutive pairs), so a (128, 256) one-hot matrix
+  * pairs stream in groups of GROUP=1024 (gaussian-major order);
+  * within a group all segment ids lie in [s0, s0 + GROUP - 1] (every visible
+    Gaussian owns >= 1 consecutive pairs), so a (GROUP, WIN) one-hot matrix
     against a 128-aligned window turns the partial reduction into ONE MXU
-    matmul (F8 x 128) @ (128 x 256);
-  * the window is accumulated into the (F8, N) output with an aligned
-    read-modify-write; grid programs run sequentially, so overlapping
-    windows of adjacent blocks compose correctly;
-  * the output buffer is an input alias (zero-initialized outside), because
-    untouched regions must stay zero.
+    matmul (F8 x GROUP) @ (GROUP x WIN);
+  * the window accumulates into the (F8, N) output with an aligned
+    read-modify-write; grid programs run sequentially, so overlapping windows
+    of adjacent groups compose correctly;
+  * the output buffer is an input alias (zero-initialized outside): untouched
+    regions must stay zero.
 """
 
 from __future__ import annotations
@@ -26,11 +26,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 128
-WINDOW = 256
+GROUP = 1024  # pairs per grid program
+WIN = GROUP + 256  # output window (span <= GROUP-1, alignment slack 127)
 
 
-def _kernel(nseg_ref, vals_hbm, slots_hbm, acc_in_hbm, out_hbm, vscr, sscr, wscr, sem_v, sem_s, sem_w, *, f8):
+def _kernel(nseg_ref, vals_hbm, slots_hbm, acc_in_hbm, out_hbm, vscr, sscr, wscr,
+            sem_v, sem_s, sem_w, *, f8):
     b = pl.program_id(0)
 
     cv = pltpu.make_async_copy(vals_hbm.at[b], vscr, sem_v)
@@ -40,33 +41,38 @@ def _kernel(nseg_ref, vals_hbm, slots_hbm, acc_in_hbm, out_hbm, vscr, sscr, wscr
     cs.wait()
     cv.wait()
 
-    slots = sscr[0:1, :]  # (1, BLOCK) int32
+    slots = sscr[0:1, :]  # (1, GROUP) int32
     s0 = sscr[0, 0]
-    w0 = (s0 // WINDOW) * WINDOW  # window-aligned base (WINDOW mult of 128)
-    # guard: segments may span across the WINDOW boundary relative to w0
-    # (s0 can sit near the end of its aligned window).  Use a base aligned to
-    # 128 instead: s0 - w0 <= 127 and span <= 127 -> max offset 254 < WINDOW.
-    w0 = (s0 // 128) * 128
+    w0 = (s0 // 128) * 128  # 128-aligned window base, s0 - w0 <= 127
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, WINDOW), 1)
-    rel = slots.reshape(BLOCK, 1) - w0
-    onehot = (lanes == rel).astype(jnp.float32)  # (BLOCK, WINDOW)
-
-    partial = jax.lax.dot_general(
-        vscr[...],  # (F8, BLOCK)
-        onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (F8, WINDOW)
-
-    rd = pltpu.make_async_copy(
-        acc_in_hbm.at[:, pl.ds(w0, WINDOW)], wscr, sem_w
-    )
+    rd = pltpu.make_async_copy(acc_in_hbm.at[:, pl.ds(w0, WIN)], wscr, sem_w)
     rd.start()
+
+    rel = slots.reshape(GROUP, 1) - w0
+    vals_block = vscr[...]  # (F8, GROUP)
+    # chunk the one-hot over the window to bound VMEM (full (GROUP, WIN)
+    # materialization is ~11 MB with intermediates)
+    wchunk = 256
+    partials = []
+    for c in range(WIN // wchunk):
+        lanes = c * wchunk + jax.lax.broadcasted_iota(
+            jnp.int32, (GROUP, wchunk), 1
+        )
+        onehot = (lanes == rel).astype(jnp.float32)  # (GROUP, wchunk)
+        partials.append(
+            jax.lax.dot_general(
+                vals_block,
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        )  # (F8, wchunk)
+    partial = jnp.concatenate(partials, axis=1)  # (F8, WIN)
+
     rd.wait()
     wscr[...] += partial
-    wr = pltpu.make_async_copy(wscr, out_hbm.at[:, pl.ds(w0, WINDOW)], sem_w)
+    wr = pltpu.make_async_copy(wscr, out_hbm.at[:, pl.ds(w0, WIN)], sem_w)
     wr.start()
     wr.wait()
 
@@ -79,23 +85,22 @@ def segsum_monotone_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (n_segments, F) sums.  Rows >= n_pairs must already be zero in
-    `vals` (the caller masks them)."""
+    `vals` (the caller masks them; their slots may be garbage -- they land
+    outside the window or add zeros)."""
     p, f = vals.shape
     f8 = (f + 7) // 8 * 8
-    nb = (p + BLOCK - 1) // BLOCK
-    p_pad = nb * BLOCK
-    n_pad = ((n_segments + WINDOW - 1) // WINDOW + 1) * WINDOW
+    nb = (p + GROUP - 1) // GROUP
+    p_pad = nb * GROUP
+    n_pad = ((n_segments + WIN - 1) // WIN + 1) * WIN
 
     vals_b = (
         jnp.pad(vals, ((0, p_pad - p), (0, f8 - f)))
-        .reshape(nb, BLOCK, f8)
+        .reshape(nb, GROUP, f8)
         .transpose(0, 2, 1)
-    )  # (NB, F8, BLOCK)
-    # pad slots with a sentinel far outside every window so padded rows of the
-    # last block cannot alias a real segment (their vals are zero anyway)
+    )  # (NB, F8, GROUP)
     slots_p = jnp.pad(slots, (0, p_pad - p), constant_values=0)
     slots_b = jnp.broadcast_to(
-        slots_p.reshape(nb, 1, BLOCK), (nb, 8, BLOCK)
+        slots_p.reshape(nb, 1, GROUP), (nb, 8, GROUP)
     ).astype(jnp.int32)
 
     acc0 = jnp.zeros((f8, n_pad), jnp.float32)
@@ -110,9 +115,9 @@ def segsum_monotone_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((f8, BLOCK), jnp.float32),
-            pltpu.VMEM((8, BLOCK), jnp.int32),
-            pltpu.VMEM((f8, WINDOW), jnp.float32),
+            pltpu.VMEM((f8, GROUP), jnp.float32),
+            pltpu.VMEM((8, GROUP), jnp.int32),
+            pltpu.VMEM((f8, WIN), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
