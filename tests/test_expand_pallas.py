@@ -1,0 +1,95 @@
+"""Fused Pallas expand+bin kernel parity vs the XLA scatter-max/cummax path
+(interpret mode on CPU; RUN_ON_TPU=1 compiles on hardware).  The kernel
+replicates binning.bin_gaussians' fallback branch exactly: per-pair depth-rank
+slot, source gaussian index, and covered tile id."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from threestudio_3dgs_tpu.ops.rasterizer.expand_pallas import (
+    expand_bin_pallas,
+    expand_slots_pallas,
+)
+
+INTERPRET = not os.environ.get("RUN_ON_TPU")
+
+
+def reference_expand_bin(offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs):
+    n = offsets.shape[0]
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    marks = jnp.zeros(max_pairs, jnp.int32).at[offsets].max(iota_n, mode="drop")
+    slot = jax.lax.cummax(marks)
+    g = depth_order[slot]
+    r = jnp.arange(max_pairs, dtype=jnp.int32) - offsets[slot]
+    w = jnp.maximum(rect_w[g], 1)
+    q = r // w
+    rem = r - q * w
+    tx = tiles_min[g, 0] + rem
+    ty = tiles_min[g, 1] + q
+    return slot, g, ty * grid_x + tx
+
+
+def random_case(seed, n, grid_x=16, grid_y=16, max_pairs=4096):
+    rng = np.random.default_rng(seed)
+    # visible gaussians with rects; some invisible (count 0) at the depth tail
+    n_vis = int(n * 0.8)
+    rw = np.zeros(n, np.int32)
+    rh = np.zeros(n, np.int32)
+    rw[:n_vis] = rng.integers(1, 5, n_vis)
+    rh[:n_vis] = rng.integers(1, 5, n_vis)
+    x0 = rng.integers(0, grid_x - 4, n)
+    y0 = rng.integers(0, grid_y - 4, n)
+    counts = rw * rh
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    assert counts.sum() <= max_pairs
+    depth_order = rng.permutation(n).astype(np.int32)
+    # tiles_min / rect_w are indexed by ORIGINAL gaussian index
+    tiles_min = np.zeros((n, 2), np.int32)
+    rect_w_orig = np.zeros(n, np.int32)
+    tiles_min[depth_order, 0] = x0[: n]  # assign in depth-rank order
+    tiles_min[depth_order, 1] = y0[: n]
+    rect_w_orig[depth_order] = rw
+    return (
+        jnp.asarray(offsets),
+        jnp.asarray(depth_order),
+        jnp.asarray(tiles_min),
+        jnp.asarray(rect_w_orig),
+        grid_x,
+        max_pairs,
+        int(counts.sum()),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_expand_bin_parity(seed):
+    offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs, total = random_case(
+        seed, n=500
+    )
+    slot_k, g_k, tile_k = expand_bin_pallas(
+        offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs,
+        interpret=INTERPRET,
+    )
+    slot_r, g_r, tile_r = reference_expand_bin(
+        offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs
+    )
+    v = total
+    np.testing.assert_array_equal(np.asarray(slot_k[:v]), np.asarray(slot_r[:v]))
+    np.testing.assert_array_equal(np.asarray(g_k[:v]), np.asarray(g_r[:v]))
+    np.testing.assert_array_equal(np.asarray(tile_k[:v]), np.asarray(tile_r[:v]))
+
+
+def test_expand_slots_parity():
+    offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs, total = random_case(
+        7, n=500
+    )
+    slot_k = expand_slots_pallas(offsets, max_pairs, interpret=INTERPRET)
+    slot_r, _, _ = reference_expand_bin(
+        offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(slot_k[:total]), np.asarray(slot_r[:total])
+    )

@@ -84,12 +84,16 @@ def bin_gaussians(
     n_pairs = jnp.minimum(total, max_pairs)
     n_dropped = total - n_pairs
 
-    # ---- expand: pair p -> depth-rank slot -------------------------------
+    # ---- expand: pair p -> (depth-rank slot, gaussian, covered tile) -----
     if jax.default_backend() == "tpu" and max_pairs % 1024 == 0:
-        # one-pass Pallas merge scan (see expand_pallas)
-        from .expand_pallas import expand_slots_pallas
+        # one-pass Pallas merge scan with fused in-window field select (the
+        # XLA path below costs ~160 ms at 2M pairs: five random 2M-row
+        # gathers + divmod; the kernel does it in ~8 ms)
+        from .expand_pallas import expand_bin_pallas
 
-        slot = expand_slots_pallas(offsets, max_pairs)
+        slot, g, tile_id = expand_bin_pallas(
+            offsets, depth_order, proj.tiles_min, rect_w, grid_x, max_pairs
+        )
     else:
         # scatter-max + cummax: mark[offsets[i]] = i (ties: max i wins = the
         # rule "last gaussian whose offset <= p", identical to
@@ -100,29 +104,29 @@ def bin_gaussians(
             .max(iota_n, mode="drop", unique_indices=False)
         )
         slot = jax.lax.cummax(marks)
-
-    # ---- per-pair tile ----------------------------------------------------
-    g = depth_order[slot]
-    r = jnp.arange(max_pairs, dtype=jnp.int32) - offsets[slot]
-    w = jnp.maximum(rect_w[g], 1)
-    # r // w via f32 reciprocal + one correction step: TPUs have no integer
-    # divide (the jnp.int32 // lowering cost ~100 ms at 2M pairs); rect
-    # dimensions are tiny so f32 is exact after the fixup
-    q = jnp.floor(r.astype(jnp.float32) / w.astype(jnp.float32)).astype(jnp.int32)
-    rem = r - q * w
-    q = jnp.where(rem < 0, q - 1, jnp.where(rem >= w, q + 1, q))
-    rem = r - q * w
-    tx = proj.tiles_min[g, 0] + rem
-    ty = proj.tiles_min[g, 1] + q
-    tile_id = ty * grid_x + tx
+        g = depth_order[slot]
+        r = jnp.arange(max_pairs, dtype=jnp.int32) - offsets[slot]
+        w = jnp.maximum(rect_w[g], 1)
+        # r // w via f32 reciprocal + one correction step: TPUs have no
+        # integer divide (the jnp.int32 // lowering costs ~100 ms at 2M
+        # pairs); rect dimensions are tiny so f32 is exact after the fixup
+        q = jnp.floor(r.astype(jnp.float32) / w.astype(jnp.float32)).astype(
+            jnp.int32
+        )
+        rem = r - q * w
+        q = jnp.where(rem < 0, q - 1, jnp.where(rem >= w, q + 1, q))
+        rem = r - q * w
+        tx = proj.tiles_min[g, 0] + rem
+        ty = proj.tiles_min[g, 1] + q
+        tile_id = ty * grid_x + tx
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = p < n_pairs
     key = jnp.where(valid, tile_id, num_tiles) << pair_bits | p
 
-    # ---- single-key sort: groups by tile, low bits carry the payload -----
-    sorted_key = jax.lax.sort(key)
+    # ---- single-key sort: groups by tile, low bits carry the payload;
+    # the gaussian index rides along (cheaper than a post-sort gather) ----
+    sorted_key, pair_gauss = jax.lax.sort((key, g), num_keys=1)
     pair_gm = sorted_key & ((1 << pair_bits) - 1)
-    pair_gauss = g[pair_gm]
     inv_perm = (
         jnp.zeros(max_pairs, jnp.int32)
         .at[pair_gm]

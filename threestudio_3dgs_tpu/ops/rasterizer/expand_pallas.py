@@ -53,6 +53,126 @@ def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
     wr.wait()
 
 
+def _bin_kernel(i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *, grid_x):
+    """Fused expand + per-pair tile id.
+
+    Beyond the slot expansion above, gathers the per-slot fields
+    (offset, gaussian index, tile-rect min x/y, rect width) from the same
+    VMEM window via a one-hot MXU matmul -- the XLA equivalent is five
+    2M-row random gathers costing ~160 ms on v5e -- and computes each
+    pair's covered tile in-register (f32 divmod; rect dims are tiny so
+    one correction step makes it exact)."""
+    t = pl.program_id(0)
+    p0 = t * TILE
+    i0 = i0_ref[t]
+    w0 = (i0 // 128) * 128  # lane-aligned window start, w0 <= i0 < w0+128
+    rd = pltpu.make_async_copy(vals_hbm.at[:, pl.ds(w0, WIN)], vscr, sem_v)
+    rd.start()
+    rd.wait()
+
+    offs = vscr[0:1, :]  # (1, WIN) f32 (exact: offsets < 2^24)
+    pair_pos = p0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    pair_pos_f = pair_pos.astype(jnp.float32)
+    entry_idx = w0 + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+    le = jnp.logical_and(offs <= pair_pos_f, entry_idx >= i0)  # (TILE, WIN)
+    cnt = jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True)
+    slot_col = i0 + cnt - 1  # (TILE, 1)
+
+    # one-hot select of the 5 per-slot field rows: (8, WIN) @ (WIN, TILE)
+    onehot = (entry_idx == slot_col).astype(jnp.float32)  # (TILE, WIN)
+    sel = jax.lax.dot_general(
+        vscr[...],
+        onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (8, TILE): rows offs|g|tmx|tmy|w
+    pair_row = (
+        p0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    ).astype(jnp.float32)
+    r = pair_row - sel[0:1, :]
+    g_row = sel[1:2, :]
+    tmx, tmy = sel[2:3, :], sel[3:4, :]
+    w = jnp.maximum(sel[4:5, :], 1.0)
+    q = jnp.floor(r / w)
+    rem = r - q * w
+    q = jnp.where(rem < 0, q - 1.0, jnp.where(rem >= w, q + 1.0, q))
+    rem = r - q * w
+    tile_row = (tmy + q) * grid_x + (tmx + rem)
+
+    oscr[0:8, :] = slot_col.reshape(8, TILE // 8)
+    oscr[8:16, :] = g_row.astype(jnp.int32).reshape(8, TILE // 8)
+    oscr[16:24, :] = tile_row.astype(jnp.int32).reshape(8, TILE // 8)
+    wr = pltpu.make_async_copy(oscr, out_hbm.at[t], sem_w)
+    wr.start()
+    wr.wait()
+
+
+def expand_bin_pallas(
+    offsets: jnp.ndarray,  # (N,) int32 exclusive prefix offsets (monotone)
+    depth_order: jnp.ndarray,  # (N,) int32 gaussian index per depth rank
+    tiles_min: jnp.ndarray,  # (N_orig, 2) int32 rect min, ORIGINAL index order
+    rect_w: jnp.ndarray,  # (N_orig,) int32 rect width, original order
+    grid_x: int,
+    max_pairs: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused expansion: returns (slot, gauss_idx, tile_id), each (max_pairs,)
+    int32, meaningful for p < total pairs (the tail is masked downstream)."""
+    n = offsets.shape[0]
+    assert n < 2**24 and max_pairs < 2**24  # f32-exact one-hot select
+    assert max_pairs % TILE == 0, max_pairs
+    nt = max_pairs // TILE
+    n_pad = ((n + 127) // 128 + (WIN // 128) + 1) * 128
+
+    def pad_f(x, const=0.0):
+        return jnp.pad(x.astype(jnp.float32), (0, n_pad - n), constant_values=const)
+
+    # per-slot (depth-order) field rows; row 5-7 padding for the (8, n) layout
+    vals = jnp.stack(
+        [
+            pad_f(offsets, 2.0**24),  # sentinel keeps `le` false on the tail
+            pad_f(depth_order),
+            pad_f(tiles_min[depth_order, 0]),
+            pad_f(tiles_min[depth_order, 1]),
+            pad_f(rect_w[depth_order]),
+            jnp.zeros(n_pad, jnp.float32),
+            jnp.zeros(n_pad, jnp.float32),
+            jnp.zeros(n_pad, jnp.float32),
+        ]
+    )  # (8, n_pad)
+
+    tile_starts = jnp.arange(nt, dtype=jnp.int32) * TILE
+    i0s = (
+        jnp.searchsorted(offsets, tile_starts, side="right").astype(jnp.int32) - 1
+    )
+    i0s = jnp.clip(i0s, 0, n - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, WIN), jnp.float32),
+            pltpu.VMEM((24, TILE // 8), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_bin_kernel, grid_x=grid_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, 24, TILE // 8), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(i0s, vals)
+    slot = out[:, 0:8, :].reshape(-1)
+    gauss = out[:, 8:16, :].reshape(-1)
+    tile_id = out[:, 16:24, :].reshape(-1)
+    return slot, gauss, tile_id
+
+
 def expand_slots_pallas(
     offsets: jnp.ndarray,  # (N,) int32 exclusive prefix offsets (monotone)
     max_pairs: int,
