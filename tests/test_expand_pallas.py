@@ -70,7 +70,8 @@ def test_expand_bin_parity(seed):
         seed, n=500
     )
     slot_k, g_k, tile_k = expand_bin_pallas(
-        offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs,
+        offsets, depth_order, tiles_min[depth_order, 0], tiles_min[depth_order, 1],
+        rect_w[depth_order], grid_x, max_pairs,
         interpret=INTERPRET,
     )
     slot_r, g_r, tile_r = reference_expand_bin(

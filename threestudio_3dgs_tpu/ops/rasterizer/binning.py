@@ -15,10 +15,11 @@ around XLA/TPU's irregular-op costs (measured on v5e):
      int32 keys: the payload rides in the low bits, stability is free because
      packed keys are unique and p is depth-ordered;
   4. the sorted low bits ARE the permutation tile-order -> gaussian-major
-     order; its inverse (one unique-index scatter) plus the offsets table
-     turn the backward's per-Gaussian gradient reduction into
-     gather + cumsum + gather-diff -- no segment_sum / scatter-add
-     (450+ ms at 4M pairs on TPU).
+     order; the backward's per-Gaussian gradient reduction permutes pair
+     grads to gaussian-major order with a payload-carrying sort (3x cheaper
+     than a random row gather) and reduces contiguous ranges with a Pallas
+     monotone segmented sum -- no segment_sum / scatter-add (450+ ms at 4M
+     pairs on TPU).
 
   pairs beyond `max_pairs` capacity are dropped (they are the globally
   deepest Gaussians; `n_dropped` reports it, never silently wrong).
@@ -38,7 +39,6 @@ class Binning(NamedTuple):
     pair_gauss: jnp.ndarray  # (P,) int32 original Gaussian index, tile order
     pair_gm: jnp.ndarray  # (P,) int32 tile-order -> gaussian-major pair index
     slot: jnp.ndarray  # (P,) int32 depth-rank (sorted-gaussian) per gm pair
-    inv_perm: jnp.ndarray  # (P,) int32 gaussian-major -> tile-order position
     tile_ranges: jnp.ndarray  # (T + 1,) int32; tile t owns [r[t], r[t+1])
     offsets: jnp.ndarray  # (N,) int32 exclusive pair offsets, depth order
     counts: jnp.ndarray  # (N,) int32 pairs per Gaussian, depth order
@@ -59,12 +59,9 @@ def bin_gaussians(
 
     pair_bits = max(int(max_pairs - 1).bit_length(), 1)
     tile_bits = int(num_tiles).bit_length()
-    if pair_bits + tile_bits > 31:
-        raise ValueError(
-            f"packed sort key overflow: {num_tiles} tiles x {max_pairs} pairs "
-            f"needs {pair_bits + tile_bits} bits; lower max_pairs or use a "
-            f"larger tile_size"
-        )
+    # (tile, pair) fits one int32 -> packed single-key sort; otherwise a
+    # lexicographic 2-key sort (only ~1.3x slower on TPU, measured)
+    packed = pair_bits + tile_bits <= 31
 
     # ---- global depth sort (invisible last) ------------------------------
     sort_depth = jnp.where(proj.visible, proj.depths, jnp.inf)
@@ -78,7 +75,12 @@ def bin_gaussians(
     rect_h = (proj.tiles_max[:, 1] - proj.tiles_min[:, 1]).astype(jnp.int32)
     counts_all = jnp.where(proj.visible, rect_w * rect_h, 0).astype(jnp.int32)
 
-    counts = counts_all[depth_order]
+    # ONE (N, 4) row gather into depth order: TPU gathers are per-row bound,
+    # so 4 scalar gathers cost ~4x one packed row gather (~35 vs ~8 ms at 1M)
+    fields_d = jnp.stack(
+        [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all], axis=1
+    )[depth_order]
+    counts = fields_d[:, 3]
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
     total = offsets[-1] + counts[-1]
     n_pairs = jnp.minimum(total, max_pairs)
@@ -92,7 +94,13 @@ def bin_gaussians(
         from .expand_pallas import expand_bin_pallas
 
         slot, g, tile_id = expand_bin_pallas(
-            offsets, depth_order, proj.tiles_min, rect_w, grid_x, max_pairs
+            offsets,
+            depth_order,
+            fields_d[:, 0],
+            fields_d[:, 1],
+            fields_d[:, 2],
+            grid_x,
+            max_pairs,
         )
     else:
         # scatter-max + cummax: mark[offsets[i]] = i (ties: max i wins = the
@@ -121,29 +129,31 @@ def bin_gaussians(
         tile_id = ty * grid_x + tx
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = p < n_pairs
-    key = jnp.where(valid, tile_id, num_tiles) << pair_bits | p
+    safe_tile = jnp.where(valid, tile_id, num_tiles)
 
-    # ---- single-key sort: groups by tile, low bits carry the payload;
-    # the gaussian index rides along (cheaper than a post-sort gather) ----
-    sorted_key, pair_gauss = jax.lax.sort((key, g), num_keys=1)
-    pair_gm = sorted_key & ((1 << pair_bits) - 1)
-    inv_perm = (
-        jnp.zeros(max_pairs, jnp.int32)
-        .at[pair_gm]
-        .set(p, mode="drop", unique_indices=True)
-    )
-
-    # ---- per-tile ranges --------------------------------------------------
-    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << pair_bits
-    tile_ranges = jnp.searchsorted(sorted_key, boundaries, side="left").astype(
-        jnp.int32
-    )
-
+    # ---- group by tile (depth order within each tile is free: p is
+    # depth-ordered and rides as a tiebreak key / packed low bits); the
+    # gaussian index rides along as payload (cheaper than a post-sort gather)
+    if packed:
+        key = safe_tile << pair_bits | p
+        sorted_key, pair_gauss = jax.lax.sort((key, g), num_keys=1)
+        pair_gm = sorted_key & ((1 << pair_bits) - 1)
+        boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << pair_bits
+        tile_ranges = jnp.searchsorted(
+            sorted_key, boundaries, side="left"
+        ).astype(jnp.int32)
+    else:
+        sorted_tile, pair_gm, pair_gauss = jax.lax.sort(
+            (safe_tile, p, g), num_keys=2
+        )
+        boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        tile_ranges = jnp.searchsorted(
+            sorted_tile, boundaries, side="left"
+        ).astype(jnp.int32)
     return Binning(
         pair_gauss=pair_gauss,
         pair_gm=pair_gm,
         slot=slot,
-        inv_perm=inv_perm,
         tile_ranges=tile_ranges,
         offsets=offsets,
         counts=counts,
@@ -165,15 +175,21 @@ def _gather_fwd_impl(feats, binning):
 
 def _gather_bwd_impl(binning, d_pairs):
     """Transpose of the pair gather without any scatter-add: permute grads to
-    gaussian-major order (gather by inv_perm), reduce each Gaussian's
-    contiguous pair range, then undo the depth sort (gather by rank).
+    gaussian-major order, reduce each Gaussian's contiguous pair range, then
+    undo the depth sort (gather by rank).
 
-    On TPU the contiguous-range reduction runs as a one-pass Pallas
+    The permute is a 1-key sort by pair_gm carrying the feature columns as
+    payloads: a random 2M-row gather costs ~49 ms on v5e, the sort ~17 ms.
+    On TPU the contiguous-range reduction then runs as a one-pass Pallas
     monotone segmented sum (~7x faster than the cumsum+gather-diff
     fallback used elsewhere)."""
     p_total = d_pairs.shape[0]
     n = binning.offsets.shape[0]
-    d_gm = d_pairs[binning.inv_perm]
+    sorted_cols = jax.lax.sort(
+        (binning.pair_gm,) + tuple(d_pairs[:, j] for j in range(d_pairs.shape[1])),
+        num_keys=1,
+    )
+    d_gm = jnp.stack(sorted_cols[1:], axis=1)
     # zero out the invalid tail (pairs >= n_pairs carry garbage rows)
     valid = (jnp.arange(p_total, dtype=jnp.int32) < binning.n_pairs)[:, None]
     d_gm = jnp.where(valid, d_gm, 0.0)

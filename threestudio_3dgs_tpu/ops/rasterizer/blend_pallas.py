@@ -52,12 +52,30 @@ def _lane_scan(x, op, identity):
     return x
 
 
-def _cumprod_lane(x):
-    return _lane_scan(x, jnp.multiply, 1.0)
+def _tri_incl(shape):
+    """Lower-triangular ones (incl. diagonal): cumsum-along-lanes as ONE MXU
+    matmul, x @ L^T with L[i,j] = j <= i -- vs 3*log2(128) VPU ops for the
+    Hillis-Steele scan."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (c <= r).astype(jnp.float32)
 
 
 def _cumsum_lane(x):
-    return _lane_scan(x, jnp.add, 0.0)
+    n = x.shape[1]
+    return jax.lax.dot_general(
+        x,
+        _tri_incl((n, n)),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _cumprod_lane(x):
+    # x = 1 - alpha in [1 - ALPHA_MAX, 1]: log is safe; one MXU matmul + two
+    # transcendentals beat the 21-op multiplicative scan
+    return jnp.exp(_cumsum_lane(jnp.log(x)))
 
 
 def _pixel_coords(tile_idx, grid_x: int, tile_size: int, npix: int):
@@ -137,16 +155,27 @@ def _fwd_kernel(
     b0 = start // BLOCK
     b1 = pl.cdiv(end, BLOCK)
 
+    def rd(b, s):
+        return pltpu.make_async_copy(feats_hbm.at[b], scratch.at[s], sem.at[s])
+
+    @pl.when(b0 < b1)
+    def _():
+        rd(b0, 0).start()
+
     def cond(carry):
         b, raw = carry
         return jnp.logical_and(b < b1, jnp.max(raw) >= T_EPS)
 
     def body(carry):
         b, raw = carry
-        copy = pltpu.make_async_copy(feats_hbm.at[b], scratch, sem)
-        copy.start()
-        copy.wait()
-        feats = scratch[...]
+        s = jax.lax.rem(b - b0, 2)
+
+        @pl.when(b + 1 < b1)
+        def _():
+            rd(b + 1, 1 - s).start()
+
+        rd(b, s).wait()
+        feats = scratch[s]
         gid = b * BLOCK + lane
         pmask = jnp.logical_and(gid >= start, gid < end)  # (1, BLOCK)
         alpha, _, _, _, _ = _block_alpha(feats, px, py, pmask)
@@ -170,7 +199,14 @@ def _fwd_kernel(
         )
         return b + 1, cum_incl[:, BLOCK - 1 : BLOCK]
 
-    jax.lax.while_loop(cond, body, (b0, jnp.ones((npix, 1), jnp.float32)))
+    b_final, _ = jax.lax.while_loop(
+        cond, body, (b0, jnp.ones((npix, 1), jnp.float32))
+    )
+
+    # drain the prefetch issued for the block after the early-exit point
+    @pl.when(jnp.logical_and(b_final < b1, b_final > b0))
+    def _():
+        rd(b_final, jax.lax.rem(b_final - b0, 2)).wait()
 
 
 def blend_forward_pallas(
@@ -200,8 +236,8 @@ def blend_forward_pallas(
             (1, npix, n_out8), lambda t, ranges: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((f8, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, f8, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -223,18 +259,26 @@ def _bwd_kernel(
     feats_hbm,  # ANY (NB, F, BLOCK)
     out_ref,  # VMEM (1, npix, C1) forward output
     g_ref,  # VMEM (1, npix, C1) cotangent
+    acc_in_hbm,  # ANY (NB, F, BLOCK) zero-initialized, aliased to the output
     dfeats_hbm,  # ANY out (NB, F, BLOCK)
-    scratch,  # VMEM (F, BLOCK)
-    dscratch,  # VMEM (F, BLOCK)
+    scratch,  # VMEM (2, F, BLOCK) double-buffered input blocks
+    dscratch,  # VMEM (2, F, BLOCK) double-buffered output blocks
     merge,  # VMEM (F, BLOCK) previous contents of a shared boundary block
-    sem_in,
+    sem_in,  # DMA (2,)
     sem_merge,
-    sem_out,
+    sem_out,  # DMA (2,)
     *,
     grid_x: int,
     tile_size: int,
     n_channels: int,
 ):
+    """One program per image tile, walking its pair blocks front-to-back.
+
+    The output buffer is zero-initialized OUTSIDE (input_output_alias), so the
+    loop early-exits once every pixel saturates (raw transmittance < T_EPS)
+    exactly like the forward -- dead and unreached blocks cost nothing.  Input
+    reads and output writes are double-buffered: block b+1's fetch and block
+    b-1's writeback overlap block b's math (~35 VPU ops on (npix, BLOCK))."""
     npix = tile_size * tile_size
     t = pl.program_id(0)
     start = ranges_ref[t]
@@ -251,117 +295,139 @@ def _bwd_kernel(
     b0 = start // BLOCK
     b1 = pl.cdiv(end, BLOCK)
 
-    def cond(carry):
-        b, _, _ = carry
-        return b < b1
+    def rd(b, s):
+        return pltpu.make_async_copy(feats_hbm.at[b], scratch.at[s], sem_in.at[s])
 
-    def body(carry):
-        b, raw, prefix = carry
-        copy = pltpu.make_async_copy(feats_hbm.at[b], scratch, sem_in)
-        copy.start()
-        gid = b * BLOCK + lane
+    def wr(b, s):
+        return pltpu.make_async_copy(dscratch.at[s], dfeats_hbm.at[b], sem_out.at[s])
+
+    @pl.when(b0 < b1)
+    def _():
+        rd(b0, 0).start()
         # boundary block shared with the previous tile: fetch its rows so the
-        # merge below preserves them (programs run sequentially, DMAs waited)
-        shares_prev = jnp.logical_and(b == b0, start % BLOCK != 0)
+        # merge below preserves them (programs run sequentially; the previous
+        # program waited its writebacks before finishing)
+        shares_prev = start % BLOCK != 0
 
         @pl.when(shares_prev)
         def _():
-            rd = pltpu.make_async_copy(dfeats_hbm.at[b], merge, sem_merge)
-            rd.start()
-            rd.wait()
+            c = pltpu.make_async_copy(dfeats_hbm.at[b0], merge, sem_merge)
+            c.start()
+            c.wait()
 
         @pl.when(jnp.logical_not(shares_prev))
         def _():
             merge[...] = jnp.zeros(merge.shape, merge.dtype)
 
-        copy.wait()
-        live = jnp.max(raw) >= T_EPS
+    def cond(carry):
+        b, raw, _ = carry
+        return jnp.logical_and(b < b1, jnp.max(raw) >= T_EPS)
 
-        # dead blocks (every pixel's transmittance below threshold -- the
-        # forward early-exited here) skip all math: their grads are zero.
-        # This is where most of the backward's time went on saturated scenes.
-        def live_branch(_):
-            feats = scratch[...]
-            pmask = jnp.logical_and(gid >= start, gid < end)
-            alpha, gauss, dx, dy, unclamped = _block_alpha(feats, px, py, pmask)
-            om = 1.0 - alpha
-            cum_incl = raw * _cumprod_lane(om)
-            include = cum_incl >= T_EPS
-            rolled = pltpu.roll(cum_incl, 1, axis=1)
-            cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
-            w = jnp.where(include, alpha * cum_excl, 0.0)
+    def body(carry):
+        b, raw, prefix = carry
+        s = jax.lax.rem(b - b0, 2)
 
-            colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
-            # u_i = <colors_i, g> + g_alpha : (npix, BLOCK) via MXU
-            u = (
-                jax.lax.dot_general(
-                    g_colors,
-                    colors,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                + g_alpha
-            )
-            uw = u * w
-            prefix_inc = prefix + _cumsum_lane(uw)
-            suffix = u_tot - prefix_inc
+        @pl.when(b + 1 < b1)
+        def _():
+            rd(b + 1, 1 - s).start()
 
-            d_alpha = jnp.where(
-                include, u * cum_excl - suffix / jnp.maximum(om, 1e-6), 0.0
-            )
-            d_gauss_term = jnp.where(unclamped, d_alpha, 0.0)
-            opa = feats[5:6, :]
-            d_power = opa * gauss * d_gauss_term
-            keep = jnp.where(pmask, 1.0, 0.0)  # (1, BLOCK)
-            d_opa = jnp.sum(gauss * d_gauss_term, axis=0, keepdims=True)
-            ca = feats[2:3, :]
-            cb = feats[3:4, :]
-            cc = feats[4:5, :]
-            d_dx = d_power * (-(ca * dx + cb * dy))
-            d_dy = d_power * (-(cc * dy + cb * dx))
-            d_x = -jnp.sum(d_dx, axis=0, keepdims=True)
-            d_y = -jnp.sum(d_dy, axis=0, keepdims=True)
-            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-            d_colors = jax.lax.dot_general(
+        rd(b, s).wait()
+        gid = b * BLOCK + lane
+        feats = scratch[s]
+        pmask = jnp.logical_and(gid >= start, gid < end)
+        alpha, gauss, dx, dy, unclamped = _block_alpha(feats, px, py, pmask)
+        om = 1.0 - alpha
+        cum_incl = raw * _cumprod_lane(om)
+        include = cum_incl >= T_EPS
+        rolled = pltpu.roll(cum_incl, 1, axis=1)
+        cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
+        w = jnp.where(include, alpha * cum_excl, 0.0)
+
+        colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
+        # u_i = <colors_i, g> + g_alpha : (npix, BLOCK) via MXU
+        u = (
+            jax.lax.dot_general(
                 g_colors,
-                w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                colors,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
-            )  # (C, BLOCK)
-            pad = scratch.shape[0] - 6 - n_channels
-            d_all = jnp.concatenate(
-                [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_colors]
-                + ([jnp.zeros((pad, BLOCK))] if pad else []),
-                axis=0,
-            ) * keep
-            return (
-                d_all,
-                cum_incl[:, BLOCK - 1 : BLOCK],
-                prefix_inc[:, BLOCK - 1 : BLOCK],
             )
-
-        def dead_branch(_):
-            return jnp.zeros(scratch.shape, jnp.float32), raw, prefix
-
-        d_all, new_raw, new_prefix = jax.lax.cond(
-            live, live_branch, dead_branch, None
+            + g_alpha
         )
-        dscratch[...] = d_all + merge[...]
-        wcopy = pltpu.make_async_copy(dscratch, dfeats_hbm.at[b], sem_out)
-        wcopy.start()
-        wcopy.wait()
+        uw = u * w
+        prefix_inc = prefix + _cumsum_lane(uw)
+        suffix = u_tot - prefix_inc
 
-        return b + 1, new_raw, new_prefix
+        d_alpha = jnp.where(
+            include, u * cum_excl - suffix / jnp.maximum(om, 1e-6), 0.0
+        )
+        d_gauss_term = jnp.where(unclamped, d_alpha, 0.0)
+        opa = feats[5:6, :]
+        d_power = opa * gauss * d_gauss_term
+        keep = jnp.where(pmask, 1.0, 0.0)  # (1, BLOCK)
+        d_opa = jnp.sum(gauss * d_gauss_term, axis=0, keepdims=True)
+        ca = feats[2:3, :]
+        cb = feats[3:4, :]
+        cc = feats[4:5, :]
+        d_dx = d_power * (-(ca * dx + cb * dy))
+        d_dy = d_power * (-(cc * dy + cb * dx))
+        d_x = -jnp.sum(d_dx, axis=0, keepdims=True)
+        d_y = -jnp.sum(d_dy, axis=0, keepdims=True)
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        d_colors = jax.lax.dot_general(
+            g_colors,
+            w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (C, BLOCK)
+        pad = scratch.shape[1] - 6 - n_channels
+        d_all = jnp.concatenate(
+            [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_colors]
+            + ([jnp.zeros((pad, BLOCK))] if pad else []),
+            axis=0,
+        ) * keep
 
-    jax.lax.while_loop(
+        # reuse of dscratch[s]: the write started two iterations ago on this
+        # slot must have landed
+        @pl.when(b - 2 >= b0)
+        def _():
+            wr(b - 2, s).wait()
+
+        dscratch[s] = d_all + jnp.where(b == b0, merge[...], 0.0)
+        wr(b, s).start()
+
+        return (
+            b + 1,
+            cum_incl[:, BLOCK - 1 : BLOCK],
+            prefix_inc[:, BLOCK - 1 : BLOCK],
+        )
+
+    b_final, _, _ = jax.lax.while_loop(
         cond,
         body,
         (b0, jnp.ones((npix, 1), jnp.float32), jnp.zeros((npix, 1), jnp.float32)),
     )
+
+    # drain: the read started for b_final (if any) and the last two writes
+    @pl.when(jnp.logical_and(b_final < b1, b_final > b0))
+    def _():
+        rd(b_final, jax.lax.rem(b_final - b0, 2)).wait()
+
+    @pl.when(jnp.logical_and(b_final == b0, b0 < b1))
+    def _():
+        rd(b0, 0).wait()
+
+    @pl.when(b_final - 1 >= b0)
+    def _():
+        wr(b_final - 1, jax.lax.rem(b_final - 1 - b0, 2)).wait()
+
+    @pl.when(b_final - 2 >= b0)
+    def _():
+        wr(b_final - 2, jax.lax.rem(b_final - 2 - b0, 2)).wait()
 
 
 def blend_backward_pallas(
@@ -399,24 +465,27 @@ def blend_backward_pallas(
             pl.BlockSpec(
                 (1, npix, n_out8), lambda t, ranges: (t, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, f8, BLOCK), jnp.float32),
+            pltpu.VMEM((2, f8, BLOCK), jnp.float32),
             pltpu.VMEM((f8, BLOCK), jnp.float32),
-            pltpu.VMEM((f8, BLOCK), jnp.float32),
-            pltpu.VMEM((f8, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    acc0 = jnp.zeros((nb, f8, BLOCK), jnp.float32)
     d_blocked = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, f8, BLOCK), jnp.float32),
+        input_output_aliases={4: 0},  # acc0 (incl. the prefetch arg) -> out
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_ranges, blocked, out, g_out)
+    )(tile_ranges, blocked, out, g_out, acc0)
     d_feats = _from_blocks(d_blocked, p_total, f_dim)
     n_pairs = tile_ranges[-1]
     valid = jnp.arange(p_total, dtype=jnp.int32) < n_pairs

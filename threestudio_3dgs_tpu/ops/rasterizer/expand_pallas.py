@@ -111,14 +111,17 @@ def _bin_kernel(i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *, grid_x):
 def expand_bin_pallas(
     offsets: jnp.ndarray,  # (N,) int32 exclusive prefix offsets (monotone)
     depth_order: jnp.ndarray,  # (N,) int32 gaussian index per depth rank
-    tiles_min: jnp.ndarray,  # (N_orig, 2) int32 rect min, ORIGINAL index order
-    rect_w: jnp.ndarray,  # (N_orig,) int32 rect width, original order
+    x0_d: jnp.ndarray,  # (N,) int32 rect min x, DEPTH order
+    y0_d: jnp.ndarray,  # (N,) int32 rect min y, depth order
+    rect_w_d: jnp.ndarray,  # (N,) int32 rect width, depth order
     grid_x: int,
     max_pairs: int,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused expansion: returns (slot, gauss_idx, tile_id), each (max_pairs,)
-    int32, meaningful for p < total pairs (the tail is masked downstream)."""
+    int32, meaningful for p < total pairs (the tail is masked downstream).
+    Rect fields come pre-permuted to depth order (one packed row gather in
+    the caller -- per-row-bound TPU gathers make separate ones 4x dearer)."""
     n = offsets.shape[0]
     assert n < 2**24 and max_pairs < 2**24  # f32-exact one-hot select
     assert max_pairs % TILE == 0, max_pairs
@@ -133,9 +136,9 @@ def expand_bin_pallas(
         [
             pad_f(offsets, 2.0**24),  # sentinel keeps `le` false on the tail
             pad_f(depth_order),
-            pad_f(tiles_min[depth_order, 0]),
-            pad_f(tiles_min[depth_order, 1]),
-            pad_f(rect_w[depth_order]),
+            pad_f(x0_d),
+            pad_f(y0_d),
+            pad_f(rect_w_d),
             jnp.zeros(n_pad, jnp.float32),
             jnp.zeros(n_pad, jnp.float32),
             jnp.zeros(n_pad, jnp.float32),
