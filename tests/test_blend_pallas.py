@@ -46,7 +46,9 @@ def test_forward_parity(seed):
     out = blend_forward_pallas(
         pair_feats, ranges, gx, gy, ts, c, interpret=INTERPRET
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # the kernel evaluates the exponent as a monomial-basis MXU matmul --
+    # a different f32 association than the twin's elementwise form
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 def test_forward_parity_early_termination():
@@ -58,7 +60,7 @@ def test_forward_parity_early_termination():
     out = blend_forward_pallas(
         pair_feats, ranges, gx, gy, ts, c, interpret=INTERPRET
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 @pytest.mark.parametrize("seed", [0, 5])
@@ -74,5 +76,5 @@ def test_backward_parity(seed):
     )
     scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
     np.testing.assert_allclose(
-        np.asarray(got) / scale, np.asarray(ref) / scale, atol=2e-5
+        np.asarray(got) / scale, np.asarray(ref) / scale, atol=1e-4
     )

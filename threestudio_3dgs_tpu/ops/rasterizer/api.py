@@ -151,7 +151,7 @@ def rasterize(
 
     binning = bin_gaussians(
         jax.tree_util.tree_map(jax.lax.stop_gradient, proj), grid_x, grid_y,
-        config.max_pairs,
+        config.max_pairs, tile_size=ts, opacities=opacities,
     )
 
     # per-pair feature gather with a scatter-free hand-written transpose

@@ -53,9 +53,16 @@ def bin_gaussians(
     grid_x: int,
     grid_y: int,
     max_pairs: int,
+    tile_size: int = 0,
+    opacities: jnp.ndarray | None = None,
 ) -> Binning:
+    """With `opacities` (activated) and `tile_size`, pairs whose Gaussian
+    cannot reach alpha >= ALPHA_MIN anywhere inside the covered tile are
+    culled (sorted to the sentinel tail) -- the blend would zero them anyway
+    (same threshold), so outputs are bit-identical with fewer blend pairs."""
     n = proj.depths.shape[0]
     num_tiles = grid_x * grid_y
+    cull = opacities is not None and tile_size > 0
 
     pair_bits = max(int(max_pairs - 1).bit_length(), 1)
     tile_bits = int(num_tiles).bit_length()
@@ -75,12 +82,22 @@ def bin_gaussians(
     rect_h = (proj.tiles_max[:, 1] - proj.tiles_min[:, 1]).astype(jnp.int32)
     counts_all = jnp.where(proj.visible, rect_w * rect_h, 0).astype(jnp.int32)
 
-    # ONE (N, 4) row gather into depth order: TPU gathers are per-row bound,
-    # so 4 scalar gathers cost ~4x one packed row gather (~35 vs ~8 ms at 1M)
+    # ONE (N, 4 or 10) row gather into depth order: TPU gathers are per-row
+    # bound, so k scalar gathers cost ~k/2x one packed row gather
+    cols = [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all]
+    if cull:
+        cols += [
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.conics[:, 0],
+            proj.conics[:, 1],
+            proj.conics[:, 2],
+            jax.lax.stop_gradient(opacities),
+        ]
     fields_d = jnp.stack(
-        [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all], axis=1
+        [c.astype(jnp.float32) for c in cols], axis=1
     )[depth_order]
-    counts = fields_d[:, 3]
+    counts = fields_d[:, 3].astype(jnp.int32)
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
     total = offsets[-1] + counts[-1]
     n_pairs = jnp.minimum(total, max_pairs)
@@ -101,6 +118,9 @@ def bin_gaussians(
             fields_d[:, 2],
             grid_x,
             max_pairs,
+            tile_size=tile_size,
+            num_tiles=num_tiles,
+            cull_fields_d=fields_d[:, 4:10] if cull else None,
         )
     else:
         # scatter-max + cummax: mark[offsets[i]] = i (ties: max i wins = the
@@ -127,6 +147,21 @@ def bin_gaussians(
         tx = proj.tiles_min[g, 0] + rem
         ty = proj.tiles_min[g, 1] + q
         tile_id = ty * grid_x + tx
+        if cull:
+            from .expand_pallas import _tile_reachable
+
+            keep = _tile_reachable(
+                (tx * tile_size).astype(jnp.float32),
+                (ty * tile_size).astype(jnp.float32),
+                float(tile_size),
+                proj.means2d[g, 0],
+                proj.means2d[g, 1],
+                proj.conics[g, 0],
+                proj.conics[g, 1],
+                proj.conics[g, 2],
+                jax.lax.stop_gradient(opacities)[g],
+            )
+            tile_id = jnp.where(keep, tile_id, num_tiles)
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = p < n_pairs
     safe_tile = jnp.where(valid, tile_id, num_tiles)

@@ -78,34 +78,64 @@ def _cumprod_lane(x):
     return jnp.exp(_cumsum_lane(jnp.log(x)))
 
 
-def _pixel_coords(tile_idx, grid_x: int, tile_size: int, npix: int):
-    """Pixel coordinates as (npix, 1) columns."""
+def _monomial_basis(tile_size: int, npix: int):
+    """(npix, 8) tile-relative pixel monomials [x^2, y^2, xy, x, y, 1, 0, 0].
+
+    The per-(pixel, gaussian) Gaussian exponent is a quadratic form, i.e. a
+    dot of 6 pixel monomials with 6 per-gaussian coefficients -- ONE MXU
+    matmul per block instead of ~10 VPU ops on (npix, BLOCK).  Tile-relative
+    coordinates (x, y in [0, tile_size)) keep the monomials small so the f32
+    matmul loses no precision to cancellation."""
     row = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
-    tx = tile_idx % grid_x
-    ty = tile_idx // grid_x
-    px = (tx * tile_size + row % tile_size).astype(jnp.float32)
-    py = (ty * tile_size + row // tile_size).astype(jnp.float32)
-    return px, py
+    x = (row % tile_size).astype(jnp.float32)
+    y = (row // tile_size).astype(jnp.float32)
+    one = jnp.ones((npix, 1), jnp.float32)
+    zero = jnp.zeros((npix, 1), jnp.float32)
+    return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
 
 
-def _block_alpha(feats, px, py, pmask):
-    """feats: (F, BLOCK); px/py: (npix, 1); pmask: (1, BLOCK).
-    Returns (alpha, gauss, dx, dy, unclamped), all (npix, BLOCK)."""
-    x = feats[0:1, :]
-    y = feats[1:2, :]
+def _coeff_rows(feats, tx0, ty0):
+    """Per-gaussian quadratic coefficients in the tile frame: (8, BLOCK) C
+    with power = M @ C.  Also returns the (1, BLOCK) helper rows."""
+    x = feats[0:1, :] - tx0
+    y = feats[1:2, :] - ty0
     ca = feats[2:3, :]
     cb = feats[3:4, :]
     cc = feats[4:5, :]
     opa = feats[5:6, :]
-    dx = px - x
-    dy = py - y
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    zero = jnp.zeros_like(x)
+    c = jnp.concatenate(
+        [
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+            ca * x + cb * y,
+            cc * y + cb * x,
+            -0.5 * (ca * x * x + cc * y * y) - cb * x * y,
+            zero,
+            zero,
+        ],
+        axis=0,
+    )  # (8, BLOCK)
+    return c, x, y, ca, cb, cc, opa
+
+
+def _power_mxu(basis, coeffs):
+    return jax.lax.dot_general(
+        basis,
+        coeffs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (npix, BLOCK)
+
+
+def _block_alpha_mxu(power, opa, pmask):
     gauss = jnp.exp(jnp.minimum(power, 0.0))
     alpha = opa * gauss
     ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & pmask
     alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_MAX), 0.0)
-    unclamped = ok & (opa * gauss < ALPHA_MAX)
-    return alpha, gauss, dx, dy, unclamped
+    return alpha, gauss, ok
 
 
 def _pad8(n: int) -> int:
@@ -147,7 +177,9 @@ def _fwd_kernel(
     t = pl.program_id(0)
     start = ranges_ref[t]
     end = ranges_ref[t + 1]
-    px, py = _pixel_coords(t, grid_x, tile_size, npix)
+    tx0 = ((t % grid_x) * tile_size).astype(jnp.float32)
+    ty0 = ((t // grid_x) * tile_size).astype(jnp.float32)
+    basis = _monomial_basis(tile_size, npix)
     lane = _lane_iota((1, BLOCK))
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
@@ -178,7 +210,8 @@ def _fwd_kernel(
         feats = scratch[s]
         gid = b * BLOCK + lane
         pmask = jnp.logical_and(gid >= start, gid < end)  # (1, BLOCK)
-        alpha, _, _, _, _ = _block_alpha(feats, px, py, pmask)
+        coeffs, _, _, _, _, _, opa = _coeff_rows(feats, tx0, ty0)
+        alpha, _, _ = _block_alpha_mxu(_power_mxu(basis, coeffs), opa, pmask)
         om = 1.0 - alpha
         cum_incl = raw * _cumprod_lane(om)  # (npix, BLOCK)
         include = cum_incl >= T_EPS
@@ -283,7 +316,9 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = ranges_ref[t]
     end = ranges_ref[t + 1]
-    px, py = _pixel_coords(t, grid_x, tile_size, npix)
+    tx0 = ((t % grid_x) * tile_size).astype(jnp.float32)
+    ty0 = ((t // grid_x) * tile_size).astype(jnp.float32)
+    basis = _monomial_basis(tile_size, npix)
     lane = _lane_iota((1, BLOCK))
 
     out_full = out_ref[0]  # (npix, C1)
@@ -335,7 +370,10 @@ def _bwd_kernel(
         gid = b * BLOCK + lane
         feats = scratch[s]
         pmask = jnp.logical_and(gid >= start, gid < end)
-        alpha, gauss, dx, dy, unclamped = _block_alpha(feats, px, py, pmask)
+        coeffs, x, y, ca, cb, cc, opa = _coeff_rows(feats, tx0, ty0)
+        power = _power_mxu(basis, coeffs)
+        alpha, gauss, ok = _block_alpha_mxu(power, opa, pmask)
+        unclamped = ok & (opa * gauss < ALPHA_MAX)
         om = 1.0 - alpha
         cum_incl = raw * _cumprod_lane(om)
         include = cum_incl >= T_EPS
@@ -363,20 +401,28 @@ def _bwd_kernel(
             include, u * cum_excl - suffix / jnp.maximum(om, 1e-6), 0.0
         )
         d_gauss_term = jnp.where(unclamped, d_alpha, 0.0)
-        opa = feats[5:6, :]
         d_power = opa * gauss * d_gauss_term
         keep = jnp.where(pmask, 1.0, 0.0)  # (1, BLOCK)
-        d_opa = jnp.sum(gauss * d_gauss_term, axis=0, keepdims=True)
-        ca = feats[2:3, :]
-        cb = feats[3:4, :]
-        cc = feats[4:5, :]
-        d_dx = d_power * (-(ca * dx + cb * dy))
-        d_dy = d_power * (-(cc * dy + cb * dx))
-        d_x = -jnp.sum(d_dx, axis=0, keepdims=True)
-        d_y = -jnp.sum(d_dy, axis=0, keepdims=True)
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        # every mean/covariance/opacity gradient is a combination of the six
+        # d_power pixel moments: ONE MXU matmul replaces five (npix, BLOCK)
+        # elementwise products + sublane tree reductions
+        mom = jax.lax.dot_general(
+            basis,
+            d_power,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (8, BLOCK): rows S_x2|S_y2|S_xy|S_x|S_y|S_1|0|0
+        sx2, sy2, sxy = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+        sx, sy, s1 = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+        dxs = sx - x * s1  # sum d_power * dx  (dx = px - mean_x, tile frame)
+        dys = sy - y * s1
+        d_x = ca * dxs + cb * dys
+        d_y = cc * dys + cb * dxs
+        d_ca = -0.5 * (sx2 - 2.0 * x * sx + x * x * s1)
+        d_cc = -0.5 * (sy2 - 2.0 * y * sy + y * y * s1)
+        d_cb = -(sxy - x * sy - y * sx + x * y * s1)
+        d_opa = s1 / jnp.maximum(opa, 1e-12)
         d_colors = jax.lax.dot_general(
             g_colors,
             w,

@@ -30,6 +30,33 @@ WIN = TILE + 256  # offsets window (TILE new segments + alignment slack)
 WCHUNK = 256  # window columns per comparison chunk (keeps VMEM small)
 
 
+def _tile_reachable(x0, y0, tile_size, mx, my, ca, cb, cc, opa):
+    """Can alpha = opa * exp(-Q/2) reach ALPHA_MIN inside the pixel rect
+    [x0, x0+ts-1] x [y0, y0+ts-1]?  Q(d) = ca dx^2 + 2 cb dx dy + cc dy^2.
+    Exact continuous max: interior (mean in rect) or on the near vertical /
+    horizontal edge, whose 1D argmin is clamped to the segment.  Conservative
+    only in pixel discreteness (continuous max >= max over pixel centers),
+    so culled pairs are exactly the ones the blend would zero anyway
+    (blend_jax.ALPHA_MIN gate).  Pure jnp: used by the Pallas kernel and the
+    XLA fallback alike."""
+    from .blend_jax import ALPHA_MIN
+
+    x1 = x0 + (tile_size - 1.0)
+    y1 = y0 + (tile_size - 1.0)
+    dxe = jnp.clip(mx, x0, x1) - mx  # 0 iff mean inside the x-range
+    dye = jnp.clip(my, y0, y1) - my
+    sa = jnp.maximum(ca, 1e-12)
+    sc = jnp.maximum(cc, 1e-12)
+    # near vertical edge (dx = dxe fixed): free dy* = -cb dxe / cc, clamped
+    dy1 = jnp.clip(-cb * dxe / sc, y0 - my, y1 - my)
+    q1 = ca * dxe * dxe + 2.0 * cb * dxe * dy1 + cc * dy1 * dy1
+    # near horizontal edge (dy = dye fixed)
+    dx2 = jnp.clip(-cb * dye / sa, x0 - mx, x1 - mx)
+    q2 = ca * dx2 * dx2 + 2.0 * cb * dx2 * dye + cc * dye * dye
+    qmin = jnp.minimum(q1, q2)
+    return opa * jnp.exp(-0.5 * qmin) >= ALPHA_MIN
+
+
 def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
     t = pl.program_id(0)
     p0 = t * TILE
@@ -53,15 +80,27 @@ def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
     wr.wait()
 
 
-def _bin_kernel(i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *, grid_x):
-    """Fused expand + per-pair tile id.
+def _bin_kernel(
+    i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *,
+    grid_x, tile_size, num_tiles, cull,
+):
+    """Fused expand + per-pair tile id (+ exact tile-ellipse culling).
 
     Beyond the slot expansion above, gathers the per-slot fields
-    (offset, gaussian index, tile-rect min x/y, rect width) from the same
-    VMEM window via a one-hot MXU matmul -- the XLA equivalent is five
-    2M-row random gathers costing ~160 ms on v5e -- and computes each
-    pair's covered tile in-register (f32 divmod; rect dims are tiny so
-    one correction step makes it exact)."""
+    (offset, gaussian index, tile-rect min x/y, rect width[, mean2d, conic,
+    opacity]) from the same VMEM window via a one-hot MXU matmul -- the XLA
+    equivalent is five 2M-row random gathers costing ~160 ms on v5e -- and
+    computes each pair's covered tile in-register (f32 divmod; rect dims are
+    tiny so one correction step makes it exact).
+
+    With `cull`, pairs whose Gaussian cannot reach alpha >= ALPHA_MIN
+    anywhere inside the tile are remapped to the sentinel tile (they sort to
+    the tail and vanish from every tile range).  The test maximizes
+    exp(-Q/2) over the tile rect exactly: the max lies on the near vertical
+    or horizontal edge (or the mean is inside), and each edge's 1D quadratic
+    argmin is clamped to the edge segment.  Culled pairs contribute exactly
+    0 to the blend (forward and backward gate on the same threshold), so
+    outputs are bit-identical with ~25-40%% fewer blend pairs."""
     t = pl.program_id(0)
     p0 = t * TILE
     i0 = i0_ref[t]
@@ -78,7 +117,8 @@ def _bin_kernel(i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *, grid_x):
     cnt = jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True)
     slot_col = i0 + cnt - 1  # (TILE, 1)
 
-    # one-hot select of the 5 per-slot field rows: (8, WIN) @ (WIN, TILE)
+    # one-hot select of the per-slot field rows: (F, WIN) @ (WIN, TILE).
+    # Exact also for f32 fields: each output is 1.0 * value + zeros.
     onehot = (entry_idx == slot_col).astype(jnp.float32)  # (TILE, WIN)
     sel = jax.lax.dot_general(
         vscr[...],
@@ -86,7 +126,7 @@ def _bin_kernel(i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *, grid_x):
         dimension_numbers=(((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )  # (8, TILE): rows offs|g|tmx|tmy|w
+    )  # (F, TILE): rows offs|g|tmx|tmy|w[|mx|my|ca|cb|cc|opa]
     pair_row = (
         p0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     ).astype(jnp.float32)
@@ -98,7 +138,18 @@ def _bin_kernel(i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *, grid_x):
     rem = r - q * w
     q = jnp.where(rem < 0, q - 1.0, jnp.where(rem >= w, q + 1.0, q))
     rem = r - q * w
-    tile_row = (tmy + q) * grid_x + (tmx + rem)
+    tx = tmx + rem
+    ty = tmy + q
+    tile_row = ty * grid_x + tx
+
+    if cull:
+        mx, my = sel[5:6, :], sel[6:7, :]
+        ca, cb, cc = sel[7:8, :], sel[8:9, :], sel[9:10, :]
+        opa = sel[10:11, :]
+        keep = _tile_reachable(
+            tx * tile_size, ty * tile_size, float(tile_size), mx, my, ca, cb, cc, opa
+        )
+        tile_row = jnp.where(keep, tile_row, float(num_tiles))
 
     oscr[0:8, :] = slot_col.reshape(8, TILE // 8)
     oscr[8:16, :] = g_row.astype(jnp.int32).reshape(8, TILE // 8)
@@ -116,34 +167,40 @@ def expand_bin_pallas(
     rect_w_d: jnp.ndarray,  # (N,) int32 rect width, depth order
     grid_x: int,
     max_pairs: int,
+    tile_size: int = 0,
+    num_tiles: int = 0,
+    cull_fields_d: jnp.ndarray | None = None,  # (N, 6) mx|my|ca|cb|cc|opa
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused expansion: returns (slot, gauss_idx, tile_id), each (max_pairs,)
     int32, meaningful for p < total pairs (the tail is masked downstream).
     Rect fields come pre-permuted to depth order (one packed row gather in
-    the caller -- per-row-bound TPU gathers make separate ones 4x dearer)."""
+    the caller -- per-row-bound TPU gathers make separate ones 4x dearer).
+    With `cull_fields_d`, unreachable (gaussian, tile) pairs get tile id
+    `num_tiles` (see _tile_reachable)."""
     n = offsets.shape[0]
     assert n < 2**24 and max_pairs < 2**24  # f32-exact one-hot select
     assert max_pairs % TILE == 0, max_pairs
+    cull = cull_fields_d is not None
     nt = max_pairs // TILE
     n_pad = ((n + 127) // 128 + (WIN // 128) + 1) * 128
 
     def pad_f(x, const=0.0):
         return jnp.pad(x.astype(jnp.float32), (0, n_pad - n), constant_values=const)
 
-    # per-slot (depth-order) field rows; row 5-7 padding for the (8, n) layout
-    vals = jnp.stack(
-        [
-            pad_f(offsets, 2.0**24),  # sentinel keeps `le` false on the tail
-            pad_f(depth_order),
-            pad_f(x0_d),
-            pad_f(y0_d),
-            pad_f(rect_w_d),
-            jnp.zeros(n_pad, jnp.float32),
-            jnp.zeros(n_pad, jnp.float32),
-            jnp.zeros(n_pad, jnp.float32),
-        ]
-    )  # (8, n_pad)
+    # per-slot (depth-order) field rows, padded up to a multiple-of-8 row count
+    rows = [
+        pad_f(offsets, 2.0**24),  # sentinel keeps `le` false on the tail
+        pad_f(depth_order),
+        pad_f(x0_d),
+        pad_f(y0_d),
+        pad_f(rect_w_d),
+    ]
+    if cull:
+        rows += [pad_f(cull_fields_d[:, j]) for j in range(6)]
+    f_rows = (len(rows) + 7) // 8 * 8
+    rows += [jnp.zeros(n_pad, jnp.float32)] * (f_rows - len(rows))
+    vals = jnp.stack(rows)  # (F, n_pad)
 
     tile_starts = jnp.arange(nt, dtype=jnp.int32) * TILE
     i0s = (
@@ -157,14 +214,20 @@ def expand_bin_pallas(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((8, WIN), jnp.float32),
+            pltpu.VMEM((f_rows, WIN), jnp.float32),
             pltpu.VMEM((24, TILE // 8), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_bin_kernel, grid_x=grid_x),
+        functools.partial(
+            _bin_kernel,
+            grid_x=grid_x,
+            tile_size=tile_size,
+            num_tiles=num_tiles,
+            cull=cull,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, 24, TILE // 8), jnp.int32),
         interpret=interpret,
