@@ -1,0 +1,222 @@
+"""Torch (diffusers-layout) checkpoint -> Flax parameter tree conversion.
+
+Lets the TPU UNet/VAE (unet.py, vae.py) load real Stable-Diffusion / Zero123
+weights from a LOCAL diffusers directory (`unet/diffusion_pytorch_model.bin`,
+`vae/...`) -- the reference pulls the same weights via `diffusers`
+(reference guidance/stable_diffusion_lora_guidance.py:27-44); this
+environment has no egress, so conversion is offline-only and unit-tested
+against randomly initialized torch-layout dicts.
+
+Transforms: conv OIHW -> HWIO, linear (O,I) -> (I,O), norm weight -> scale.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _conv(w):
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _dense(w):
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _set(tree: dict, path: tuple, leaf):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(leaf)
+
+
+_NORM_KIND = {"weight": "scale", "bias": "bias"}
+
+
+def _leaf(kind: str, param: str, value):
+    """kind: conv|dense|norm -> (leaf_name, transformed_value)."""
+    if kind == "conv":
+        return ("kernel", _conv(value)) if param == "weight" else ("bias", value)
+    if kind == "dense":
+        return ("kernel", _dense(value)) if param == "weight" else ("bias", value)
+    return (_NORM_KIND[param], value)
+
+
+def _attention_paths(prefix: tuple, rest: str):
+    """Map diffusers attention subkeys under an Attention module."""
+    m = re.match(r"(to_q|to_k|to_v)\.(weight|bias)$", rest)
+    if m:
+        return prefix + (m.group(1),), "dense", m.group(2)
+    m = re.match(r"to_out\.0\.(weight|bias)$", rest)
+    if m:
+        return prefix + ("to_out_0",), "dense", m.group(1)
+    # legacy VAE naming
+    m = re.match(r"(query|key|value)\.(weight|bias)$", rest)
+    if m:
+        name = {"query": "to_q", "key": "to_k", "value": "to_v"}[m.group(1)]
+        return prefix + (name,), "dense", m.group(2)
+    m = re.match(r"proj_attn\.(weight|bias)$", rest)
+    if m:
+        return prefix + ("to_out_0",), "dense", m.group(1)
+    m = re.match(r"group_norm\.(weight|bias)$", rest)
+    if m:
+        return prefix + ("group_norm",), "norm", m.group(1)
+    raise KeyError(rest)
+
+
+def _transformer_paths(prefix: tuple, rest: str, use_linear: bool):
+    m = re.match(r"norm\.(weight|bias)$", rest)
+    if m:
+        return prefix + ("norm",), "norm", m.group(1)
+    m = re.match(r"proj_(in|out)\.(weight|bias)$", rest)
+    if m:
+        kind = "dense" if use_linear else "conv"
+        return prefix + (f"proj_{m.group(1)}",), kind, m.group(2)
+    m = re.match(r"transformer_blocks\.0\.(.*)$", rest)
+    if not m:
+        raise KeyError(rest)
+    sub = m.group(1)
+    tb = prefix + ("transformer_blocks_0",)
+    m = re.match(r"(norm[123])\.(weight|bias)$", sub)
+    if m:
+        return tb + (m.group(1),), "norm", m.group(2)
+    m = re.match(r"(attn[12])\.(.*)$", sub)
+    if m:
+        return _attention_paths(tb + (m.group(1),), m.group(2))
+    m = re.match(r"ff\.net\.0\.proj\.(weight|bias)$", sub)
+    if m:
+        return tb + ("ff_proj",), "dense", m.group(1)
+    m = re.match(r"ff\.net\.2\.(weight|bias)$", sub)
+    if m:
+        return tb + ("ff_out",), "dense", m.group(1)
+    raise KeyError(rest)
+
+
+def _resnet_paths(prefix: tuple, rest: str):
+    m = re.match(r"(norm[12])\.(weight|bias)$", rest)
+    if m:
+        return prefix + (m.group(1),), "norm", m.group(2)
+    m = re.match(r"(conv[12]|conv_shortcut)\.(weight|bias)$", rest)
+    if m:
+        return prefix + (m.group(1),), "conv", m.group(2)
+    m = re.match(r"time_emb_proj\.(weight|bias)$", rest)
+    if m:
+        return prefix + ("time_emb_proj",), "dense", m.group(1)
+    raise KeyError(rest)
+
+
+def torch_unet_to_flax(sd: Dict[str, "object"], use_linear_projection=True) -> dict:
+    """diffusers UNet2DConditionModel state_dict -> {'params': ...} tree for
+    unet.UNet2DCondition."""
+    params: dict = {}
+
+    def put(path, kind, param, value):
+        leaf, v = _leaf(kind, param, value)
+        _set(params, path + (leaf,), v)
+
+    for key, value in sd.items():
+        if re.match(r"conv_in\.(weight|bias)$", key):
+            put(("conv_in",), "conv", key.split(".")[-1], value)
+        elif (m := re.match(r"time_embedding\.linear_(\d)\.(weight|bias)$", key)):
+            put((f"time_embedding_linear_{m.group(1)}",), "dense", m.group(2), value)
+        elif (m := re.match(r"conv_norm_out\.(weight|bias)$", key)):
+            put(("conv_norm_out",), "norm", m.group(1), value)
+        elif (m := re.match(r"conv_out\.(weight|bias)$", key)):
+            put(("conv_out",), "conv", m.group(1), value)
+        elif (m := re.match(r"(down|up)_blocks\.(\d)\.resnets\.(\d)\.(.*)$", key)):
+            path, kind, param = _resnet_paths(
+                (f"{m.group(1)}_{m.group(2)}_resnet_{m.group(3)}",), m.group(4)
+            )
+            put(path[:-1] + (path[-1],), kind, param, value)
+        elif (m := re.match(r"(down|up)_blocks\.(\d)\.attentions\.(\d)\.(.*)$", key)):
+            path, kind, param = _transformer_paths(
+                (f"{m.group(1)}_{m.group(2)}_attn_{m.group(3)}",),
+                m.group(4),
+                use_linear_projection,
+            )
+            put(path, kind, param, value)
+        elif (m := re.match(r"down_blocks\.(\d)\.downsamplers\.0\.conv\.(weight|bias)$", key)):
+            put((f"down_{m.group(1)}_downsample",), "conv", m.group(2), value)
+        elif (m := re.match(r"up_blocks\.(\d)\.upsamplers\.0\.conv\.(weight|bias)$", key)):
+            put((f"up_{m.group(1)}_upsample",), "conv", m.group(2), value)
+        elif (m := re.match(r"mid_block\.resnets\.(\d)\.(.*)$", key)):
+            path, kind, param = _resnet_paths(
+                (f"mid_resnet_{m.group(1)}",), m.group(2)
+            )
+            put(path, kind, param, value)
+        elif (m := re.match(r"mid_block\.attentions\.0\.(.*)$", key)):
+            path, kind, param = _transformer_paths(
+                ("mid_attn",), m.group(1), use_linear_projection
+            )
+            put(path, kind, param, value)
+        else:
+            raise KeyError(f"unmapped UNet key: {key}")
+    return {"params": params}
+
+
+def _vae_half_to_flax(sd, half: str, quant_key: str) -> dict:
+    params: dict = {}
+
+    def put(path, kind, param, value):
+        leaf, v = _leaf(kind, param, value)
+        _set(params, path + (leaf,), v)
+
+    for key, value in sd.items():
+        if key.startswith(quant_key + "."):
+            put((quant_key,), "conv", key.split(".")[-1], value)
+            continue
+        if not key.startswith(half + "."):
+            continue
+        rest = key[len(half) + 1 :]
+        if (m := re.match(r"conv_in\.(weight|bias)$", rest)):
+            put(("conv_in",), "conv", m.group(1), value)
+        elif (m := re.match(r"conv_norm_out\.(weight|bias)$", rest)):
+            put(("conv_norm_out",), "norm", m.group(1), value)
+        elif (m := re.match(r"conv_out\.(weight|bias)$", rest)):
+            put(("conv_out",), "conv", m.group(1), value)
+        elif (m := re.match(r"(down|up)_blocks\.(\d)\.resnets\.(\d)\.(.*)$", rest)):
+            path, kind, param = _resnet_paths(
+                (f"{m.group(1)}_{m.group(2)}_resnet_{m.group(3)}",), m.group(4)
+            )
+            put(path, kind, param, value)
+        elif (m := re.match(r"down_blocks\.(\d)\.downsamplers\.0\.conv\.(weight|bias)$", rest)):
+            put((f"down_{m.group(1)}_downsample",), "conv", m.group(2), value)
+        elif (m := re.match(r"up_blocks\.(\d)\.upsamplers\.0\.conv\.(weight|bias)$", rest)):
+            put((f"up_{m.group(1)}_upsample",), "conv", m.group(2), value)
+        elif (m := re.match(r"mid_block\.resnets\.(\d)\.(.*)$", rest)):
+            path, kind, param = _resnet_paths(
+                (f"mid_resnet_{m.group(1)}",), m.group(2)
+            )
+            put(path, kind, param, value)
+        elif (m := re.match(r"mid_block\.attentions\.0\.(.*)$", rest)):
+            path, kind, param = _attention_paths(("mid_attn",), m.group(1))
+            put(path, kind, param, value)
+        else:
+            raise KeyError(f"unmapped VAE key: {key}")
+    return {"params": params}
+
+
+def torch_vae_encoder_to_flax(sd) -> dict:
+    return _vae_half_to_flax(sd, "encoder", "quant_conv")
+
+
+def torch_vae_decoder_to_flax(sd) -> dict:
+    return _vae_half_to_flax(sd, "decoder", "post_quant_conv")
+
+
+def load_torch_state_dict(path: str):
+    """Load a .bin (torch pickle) or .safetensors file as numpy dict."""
+    if path.endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+
+            return load_file(path)
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("safetensors not available") from e
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}

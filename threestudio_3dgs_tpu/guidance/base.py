@@ -45,22 +45,53 @@ class PromptProcessorConfig:
 
 
 class PromptUtils:
-    """Carrier for text conditioning.  Real text encoders need checkpoint
-    weights (not available in this offline environment); the embedding field
-    is a deterministic hash-derived vector so downstream math is exercised."""
+    """Carrier for text conditioning.  With a local CLIP checkpoint directory
+    (diffusers layout: text_encoder/ + tokenizer/) the embedding is the real
+    CLIP hidden state, computed ONCE on the host CPU via transformers --
+    exactly the reference's precompute-and-cache pattern
+    (guidance/temporal_zero123_guidance.py:200-215).  Without weights (this
+    environment has no egress) it is a deterministic hash-derived vector so
+    downstream math is exercised."""
 
-    def __init__(self, prompt: str, negative_prompt: str = ""):
+    def __init__(self, prompt: str, negative_prompt: str = "", model_dir: str = ""):
         import numpy as np
 
         self.prompt = prompt
         self.negative_prompt = negative_prompt
-        rng = np.random.default_rng(abs(hash(prompt)) % (2 ** 32))
-        self.text_embedding = jnp.asarray(
-            rng.normal(size=(77, 1024)).astype("float32")
-        )
+        emb = None
+        if model_dir:
+            emb = _clip_encode_local(model_dir, prompt)
+        if emb is None:
+            rng = np.random.default_rng(abs(hash(prompt)) % (2 ** 32))
+            emb = rng.normal(size=(77, 1024)).astype("float32")
+        self.text_embedding = jnp.asarray(emb)
 
     def get_text_embeddings(self, *args, **kwargs):
         return self.text_embedding
+
+
+def _clip_encode_local(model_dir: str, prompt: str):
+    """CLIP text hidden states from a LOCAL diffusers-layout dir, or None."""
+    import os
+
+    te = os.path.join(model_dir, "text_encoder")
+    tok = os.path.join(model_dir, "tokenizer")
+    if not (os.path.isdir(te) and os.path.isdir(tok)):
+        return None
+    try:  # torch CPU inference, once per prompt
+        import torch
+        from transformers import CLIPTextModel, CLIPTokenizer
+
+        tokenizer = CLIPTokenizer.from_pretrained(tok)
+        encoder = CLIPTextModel.from_pretrained(te)
+        with torch.no_grad():
+            ids = tokenizer(
+                prompt, padding="max_length", max_length=77, truncation=True,
+                return_tensors="pt",
+            ).input_ids
+            return encoder(ids)[0][0].numpy()
+    except Exception:
+        return None
 
 
 @register("dummy-prompt-processor")
@@ -84,4 +115,8 @@ class PromptProcessor:
         self.cfg = cfg
 
     def __call__(self) -> PromptUtils:
-        return PromptUtils(self.cfg.prompt, self.cfg.negative_prompt)
+        return PromptUtils(
+            self.cfg.prompt,
+            self.cfg.negative_prompt,
+            model_dir=str(self.cfg.pretrained_model_name_or_path or ""),
+        )

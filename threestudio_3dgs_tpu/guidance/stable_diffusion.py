@@ -66,7 +66,45 @@ class StableDiffusionGuidance(BaseGuidance):
             self.denoiser = self._try_load_local(cfg.pretrained_model_name_or_path)
 
     def _try_load_local(self, path: str):
-        return None  # no local SD weights in this environment
+        """Build the real latent-diffusion denoiser from a local diffusers
+        checkpoint directory (unet/ + vae/).  Returns None when absent --
+        the analytic prior then drives the same SDS plumbing."""
+        import os
+
+        unet_file = None
+        for cand in (
+            "unet/diffusion_pytorch_model.safetensors",
+            "unet/diffusion_pytorch_model.bin",
+        ):
+            if os.path.exists(os.path.join(path, cand)):
+                unet_file = os.path.join(path, cand)
+                break
+        if unet_file is None:
+            return None
+        from ..diffusion import SD21_UNET, UNet2DCondition, torch_unet_to_flax
+        from ..diffusion.convert import load_torch_state_dict
+
+        model = UNet2DCondition(SD21_UNET)
+        params = jax.tree_util.tree_map(
+            jnp.asarray,
+            torch_unet_to_flax(load_torch_state_dict(unet_file)),
+        )
+
+        def denoiser(noisy, t, key, emb):
+            # CFG pair batch: [uncond | cond]
+            b = noisy.shape[0]
+            ctx = jnp.concatenate(
+                [jnp.zeros_like(emb[None]), emb[None]], axis=0
+            ) if emb.ndim == 2 else emb
+            ctx_u = jnp.broadcast_to(ctx[0], (b,) + ctx.shape[1:])
+            ctx_c = jnp.broadcast_to(ctx[-1], (b,) + ctx.shape[1:])
+            both = jnp.concatenate([noisy, noisy], axis=0)
+            ts = jnp.concatenate([t, t], axis=0)
+            ctxs = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            eps = model.apply(params, both, ts, ctxs)
+            return eps[:b], eps[b:]
+
+        return denoiser
 
     def set_denoiser(self, fn):
         """fn(noisy, t, key, text_embedding) -> (eps_uncond, eps_cond)."""
