@@ -4,8 +4,9 @@
 Motion model: a deformation graph of M nodes subsampled from the mesh
 vertices; per-frame node translations/rotations (mode "discrete") or a
 HexPlane network (mode "deformation"); vertices follow the nodes through
-linear-blend or dual-quaternion skinning with KNN-euclidean weights
-(reference :690-799 also offers heat-method geodesic weights); an optional
+linear-blend or dual-quaternion skinning with KNN-euclidean or heat-method
+geodesic weights (reference :690-799; geodesics via the native C++ solver in
+native/heat_geodesic.cpp, replacing potpourri3d); an optional
 SE(3) cubic B-spline interpolates node trajectories between frames
 (reference :349-416).
 
@@ -84,6 +85,7 @@ class DynamicSuGaRConfig(SuGaRConfig):
     dg_node_connectivity: int = 8
     dynamic_mode: str = "discrete"  # 'discrete' | 'deformation'
     skinning_method: str = "lbs"  # 'lbs' | 'dqs'
+    dg_dist_mode: str = "euclidean"  # 'euclidean' | 'geodesic' (heat method)
     use_spline: bool = True
     d_xyz_lr: Any = 0.001
     d_rot_lr: Any = 0.0001
@@ -100,6 +102,26 @@ def skinning_weights(verts: np.ndarray, nodes: np.ndarray, k: int):
     w = 1.0 / np.maximum(np.sqrt(d2), 1e-6)
     w = w / w.sum(axis=1, keepdims=True)
     return idx.astype(np.int32), w.astype(np.float32)
+
+
+def skinning_weights_geodesic(
+    verts: np.ndarray, faces: np.ndarray, node_ids: np.ndarray, k: int
+):
+    """Heat-method geodesic skinning weights (reference :741-799 uses
+    potpourri3d's heat solver): per-vertex inverse geodesic distance over the
+    k geodesically-nearest deformation nodes.  Runs on the host once at
+    graph-build time (native C++ solver, scipy fallback)."""
+    from ..native import heat_geodesic_distances
+
+    dists = heat_geodesic_distances(
+        verts, faces, np.asarray(node_ids, np.int32)
+    )  # (M, V)
+    dists = dists.T  # (V, M)
+    idx = np.argsort(dists, axis=1)[:, :k].astype(np.int32)
+    d = np.take_along_axis(dists, idx, axis=1)
+    w = 1.0 / np.maximum(d, 1e-6)
+    w = w / w.sum(axis=1, keepdims=True)
+    return idx, w.astype(np.float32)
 
 
 def node_transforms_at(
@@ -159,9 +181,17 @@ class DynamicSuGaRModel(SuGaRModel):
         m = min(cfg.n_dg_nodes, len(verts))
         node_ids = rng.choice(len(verts), size=m, replace=False)
         nodes = verts[node_ids]
-        skin_idx, skin_w = skinning_weights(
-            verts, nodes, min(cfg.dg_node_connectivity, m)
-        )
+        if cfg.dg_dist_mode == "geodesic":
+            skin_idx, skin_w = skinning_weights_geodesic(
+                verts,
+                np.asarray(base.faces),
+                node_ids,
+                min(cfg.dg_node_connectivity, m),
+            )
+        else:
+            skin_idx, skin_w = skinning_weights(
+                verts, nodes, min(cfg.dg_node_connectivity, m)
+            )
 
         t = cfg.num_frames
         rots0 = np.zeros((m, t, 4), np.float32)
