@@ -222,3 +222,150 @@ def test_vae_converter_round_trip():
     assert set(flat_a) == set(flat_b)
     for k in flat_a:
         np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
+
+
+# ---------------------------------------------------------------------------
+# Multiview (MVDream): 3D attention coupling, camera embedding, converter
+# ---------------------------------------------------------------------------
+
+TINY_MV_UNET = UNet2DConditionConfig(
+    block_out_channels=(32, 64),
+    attention_head_dim=(2, 4),
+    cross_attention_dim=48,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    norm_groups=8,
+    num_views=2,
+    camera_embed_dim=16,
+)
+
+
+def test_multiview_unet_views_coupled():
+    """With num_views=2, perturbing view 0's latent must change view 1's
+    output (3D attention attends across views); with num_views=1 it must not."""
+    key = jax.random.PRNGKey(3)
+    t = jnp.array([10, 10], jnp.int32)
+    ctx = jnp.zeros((2, 3, 48))
+    cam = jax.random.normal(key, (2, 16))
+    x = jax.random.normal(key, (2, 8, 8, 4))
+    x_pert = x.at[0].add(1.0)
+
+    mv = UNet2DCondition(TINY_MV_UNET)
+    p = mv.init(key, x, t, ctx, cam)
+    base = mv.apply(p, x, t, ctx, cam)
+    pert = mv.apply(p, x_pert, t, ctx, cam)
+    assert float(jnp.abs(pert[1] - base[1]).max()) > 1e-6
+
+    import dataclasses as dc
+
+    sv = UNet2DCondition(dc.replace(TINY_MV_UNET, num_views=1))
+    p1 = sv.init(key, x, t, ctx, cam)
+    base1 = sv.apply(p1, x, t, ctx, cam)
+    pert1 = sv.apply(p1, x_pert, t, ctx, cam)
+    np.testing.assert_array_equal(np.asarray(base1[1]), np.asarray(pert1[1]))
+
+
+def test_multiview_camera_embedding_changes_output():
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (2, 8, 8, 4))
+    t = jnp.array([10, 10], jnp.int32)
+    ctx = jnp.zeros((2, 3, 48))
+    cam_a = jnp.zeros((2, 16))
+    cam_b = jnp.ones((2, 16))
+    mv = UNet2DCondition(TINY_MV_UNET)
+    p = mv.init(key, x, t, ctx, cam_a)
+    out_a = mv.apply(p, x, t, ctx, cam_a)
+    out_b = mv.apply(p, x, t, ctx, cam_b)
+    assert float(jnp.abs(out_a - out_b).max()) > 1e-6
+
+
+def test_multiview_unet_converter_round_trip():
+    """Multiview adds camera_embedding.linear_{1,2}; the rest of the torch
+    name mapping is unchanged."""
+    model = UNet2DCondition(TINY_MV_UNET)
+    key = jax.random.PRNGKey(5)
+    params = model.init(
+        key,
+        jnp.zeros((2, 8, 8, 4)),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 3, 48)),
+        jnp.zeros((2, 16)),
+    )
+    torch_sd = {}
+    for path, value in _flatten(params["params"]):
+        *mods, leaf = path
+        tname, tval = _unflax_leaf(path, leaf, value)
+        name = mods[0]
+        if name.startswith("camera_embedding_linear_"):
+            prefix = f"camera_embedding.linear_{name[-1]}"
+        elif name.endswith(("resnet_0", "resnet_1", "resnet_2")) or name.startswith(
+            "mid_resnet"
+        ):
+            prefix = _torch_name_unet((name,) + tuple(mods[1:]))
+        else:
+            prefix = _torch_name_unet(tuple(mods))
+        torch_sd[prefix + "." + tname] = tval
+    converted = torch_unet_to_flax(torch_sd, use_linear_projection=True)
+    flat_a = dict(_flatten(params["params"]))
+    flat_b = dict(_flatten(converted["params"]))
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
+
+
+def test_multiview_guidance_fallback_and_recon_loss():
+    """multiview-diffusion-guidance trains without weights: analytic prior,
+    recon-mode loss pulls the render toward the prompt palette."""
+    from threestudio_3dgs_tpu.guidance.mvdream import MultiviewDiffusionGuidance
+    from threestudio_3dgs_tpu.utils.registry import find
+
+    assert find("mvdream-multiview-diffusion-guidance") is MultiviewDiffusionGuidance
+    assert find("multiview-diffusion-guidance") is MultiviewDiffusionGuidance
+
+    g = MultiviewDiffusionGuidance(
+        cfg={"n_view": 4, "guidance_scale": 50.0, "recon_loss": True,
+             "recon_std_rescale": 0.5}
+    )
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.uniform(key, (4, 16, 16, 3))
+    c2w = jnp.broadcast_to(jnp.eye(4), (4, 4, 4))
+    batch = {"c2w": c2w}
+
+    class _PU:
+        def get_text_embeddings(self):
+            return jnp.full((77, 1024), 2.0)  # palette -> sigmoid(2) ~ 0.88
+
+    def loss_fn(x):
+        out = g(x, _PU(), batch, key=key)
+        return out["loss_sds"]
+
+    loss, grad = jax.value_and_grad(loss_fn)(rgb)
+    assert bool(jnp.isfinite(loss)) and bool(jnp.isfinite(grad).all())
+    # gradient descends toward the bright palette: step along -grad must move
+    # the mean pixel value up (rgb starts uniform in [0,1], target ~0.88)
+    stepped = rgb - 1e-3 * grad
+    assert float(stepped.mean()) > float(rgb.mean())
+
+
+def test_multiview_sds_shared_timestep():
+    """recon-mode SDS uses one timestep per scene: with a denoiser that
+    records t, all views of a scene must agree."""
+    from threestudio_3dgs_tpu.guidance.sds import (
+        SDSConfig,
+        sds_recon_loss,
+        sds_sched_scalars,
+    )
+
+    seen = {}
+
+    def denoise_fn(noisy, t, k):
+        seen["t"] = t
+        return jnp.zeros_like(noisy), jnp.zeros_like(noisy)
+
+    cfg = SDSConfig(guidance_scale=1.0)
+    sched = sds_sched_scalars(cfg, 0)
+    latents = jnp.zeros((8, 4, 4, 3))
+    sds_recon_loss(latents, denoise_fn, jax.random.PRNGKey(1), sched, cfg,
+                   n_view=4)
+    t = np.asarray(seen["t"])
+    assert (t[:4] == t[0]).all() and (t[4:] == t[4]).all()

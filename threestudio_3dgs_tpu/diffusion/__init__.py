@@ -9,6 +9,12 @@ runtime.  Architectures are configurable so tests run tiny randomly
 initialized variants on CPU.
 """
 
-from .unet import UNet2DConditionConfig, UNet2DCondition, SD21_UNET, ZERO123_UNET
+from .unet import (
+    MVDREAM_UNET,
+    SD21_UNET,
+    ZERO123_UNET,
+    UNet2DCondition,
+    UNet2DConditionConfig,
+)
 from .vae import AutoencoderKLConfig, VAEEncoder, VAEDecoder, SD_VAE
 from .convert import torch_unet_to_flax, torch_vae_encoder_to_flax, torch_vae_decoder_to_flax

@@ -122,6 +122,9 @@ def torch_unet_to_flax(sd: Dict[str, "object"], use_linear_projection=True) -> d
             put(("conv_in",), "conv", key.split(".")[-1], value)
         elif (m := re.match(r"time_embedding\.linear_(\d)\.(weight|bias)$", key)):
             put((f"time_embedding_linear_{m.group(1)}",), "dense", m.group(2), value)
+        elif (m := re.match(r"camera_embedding\.linear_(\d)\.(weight|bias)$", key)):
+            # MVDream camera-matrix MLP (unet.py camera_embed_dim)
+            put((f"camera_embedding_linear_{m.group(1)}",), "dense", m.group(2), value)
         elif (m := re.match(r"conv_norm_out\.(weight|bias)$", key)):
             put(("conv_norm_out",), "norm", m.group(1), value)
         elif (m := re.match(r"conv_out\.(weight|bias)$", key)):

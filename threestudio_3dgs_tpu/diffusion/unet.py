@@ -9,9 +9,14 @@ drives through `self.unet(...)` in its guidance modules) re-built TPU-first:
   * optional bf16 compute dtype (params stay f32; matmuls run bf16 on MXU);
   * no python control flow on data -- one jit-able apply.
 
-Architecture knobs cover both SD 2.1 (4-ch latents, 1024-d text context,
-linear transformer projections) and Zero123 (8-ch input: noisy latent concat
-conditioning latent, 768-d CLIP-image+camera context, conv projections).
+Architecture knobs cover SD 2.1 (4-ch latents, 1024-d text context,
+linear transformer projections), Zero123 (8-ch input: noisy latent concat
+conditioning latent, 768-d CLIP-image+camera context, conv projections), and
+MVDream-class multiview models (`num_views` > 1 turns every self-attention
+into 3D attention over all views jointly, `camera_embed_dim` = 16 adds a
+flattened-c2w camera MLP to the time embedding) -- the denoiser behind the
+reference's `mvdream-multiview-diffusion-guidance`
+(reference configs/gaussian_splatting_mvdream.yaml:83).
 """
 
 from __future__ import annotations
@@ -48,6 +53,10 @@ class UNet2DConditionConfig:
     freq_shift: float = 0.0
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 for TPU speed)
+    # multiview (MVDream): batch is V consecutive views of one scene;
+    # self-attention attends across all V*H*W tokens jointly
+    num_views: int = 1
+    camera_embed_dim: int = 0  # 16 = flattened 4x4 c2w (MVDream)
 
 
 SD21_UNET = UNet2DConditionConfig()
@@ -57,6 +66,7 @@ ZERO123_UNET = UNet2DConditionConfig(
     attention_head_dim=(8, 8, 8, 8),
     use_linear_projection=False,
 )
+MVDREAM_UNET = UNet2DConditionConfig(num_views=4, camera_embed_dim=16)
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, freq_shift: float = 0.0):
@@ -125,12 +135,24 @@ class TransformerBlock(nn.Module):
     dim_head: int
     cross_dim: int
     dtype: jnp.dtype = jnp.float32
+    num_views: int = 1
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + Attention(self.heads, self.dim_head, self.dtype, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        )
+        h1 = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if self.num_views > 1:
+            # MVDream 3D attention: fold the view axis into the token axis so
+            # every view attends to every other view's tokens (one larger MXU
+            # matmul instead of V small ones -- TPU-friendly by construction)
+            bv, n, c = h1.shape
+            v = self.num_views
+            h1 = h1.reshape(bv // v, v * n, c)
+            a1 = Attention(self.heads, self.dim_head, self.dtype, name="attn1")(h1)
+            x = x + a1.reshape(bv, n, c)
+        else:
+            x = x + Attention(
+                self.heads, self.dim_head, self.dtype, name="attn1"
+            )(h1)
         x = x + Attention(self.heads, self.dim_head, self.dtype, name="attn2")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context
         )
@@ -150,6 +172,7 @@ class Transformer2D(nn.Module):
     use_linear: bool
     dtype: jnp.dtype = jnp.float32
     norm_groups: int = 32
+    num_views: int = 1
 
     @nn.compact
     def __call__(self, x, context):
@@ -164,7 +187,7 @@ class Transformer2D(nn.Module):
             x = x.reshape(b, h * w, c)
         x = TransformerBlock(
             self.heads, self.dim_head, self.cross_dim, self.dtype,
-            name="transformer_blocks_0",
+            self.num_views, name="transformer_blocks_0",
         )(x, context)
         if self.use_linear:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
@@ -176,12 +199,15 @@ class Transformer2D(nn.Module):
 
 
 class UNet2DCondition(nn.Module):
-    """apply(params, latent (B,H,W,Cin), t (B,), context (B,L,D)) -> eps."""
+    """apply(params, latent (B,H,W,Cin), t (B,), context (B,L,D)) -> eps.
+
+    Multiview configs additionally take camera (B, camera_embed_dim); B must
+    be a multiple of num_views with views of one scene consecutive."""
 
     cfg: UNet2DConditionConfig = SD21_UNET
 
     @nn.compact
-    def __call__(self, x, t, context):
+    def __call__(self, x, t, context, camera=None):
         cfg = self.cfg
         dt = cfg.dtype
         ch0 = cfg.block_out_channels[0]
@@ -191,6 +217,16 @@ class UNet2DCondition(nn.Module):
         temb = nn.Dense(temb_dim, dtype=dt, name="time_embedding_linear_2")(
             nn.silu(temb)
         )
+        if cfg.camera_embed_dim > 0:
+            # MVDream camera conditioning: flattened c2w -> MLP, added to temb
+            cam = jnp.zeros((x.shape[0], cfg.camera_embed_dim), dt) if (
+                camera is None
+            ) else camera.astype(dt)
+            cemb = nn.Dense(temb_dim, dtype=dt, name="camera_embedding_linear_1")(cam)
+            cemb = nn.Dense(temb_dim, dtype=dt, name="camera_embedding_linear_2")(
+                nn.silu(cemb)
+            )
+            temb = temb + cemb
 
         context = context.astype(dt)
         x = x.astype(dt)
@@ -210,7 +246,7 @@ class UNet2DCondition(nn.Module):
                     h = Transformer2D(
                         heads, ch // heads, cfg.cross_attention_dim,
                         cfg.use_linear_projection, dt, cfg.norm_groups,
-                        name=f"down_{i}_attn_{j}",
+                        cfg.num_views, name=f"down_{i}_attn_{j}",
                     )(h, context)
                 skips.append(h)
             if i < len(cfg.block_out_channels) - 1:
@@ -226,7 +262,8 @@ class UNet2DCondition(nn.Module):
         h = ResnetBlock(ch, dt, cfg.norm_groups, name="mid_resnet_0")(h, temb)
         h = Transformer2D(
             heads, ch // heads, cfg.cross_attention_dim,
-            cfg.use_linear_projection, dt, cfg.norm_groups, name="mid_attn",
+            cfg.use_linear_projection, dt, cfg.norm_groups, cfg.num_views,
+            name="mid_attn",
         )(h, context)
         h = ResnetBlock(ch, dt, cfg.norm_groups, name="mid_resnet_1")(h, temb)
 
@@ -245,7 +282,7 @@ class UNet2DCondition(nn.Module):
                     h = Transformer2D(
                         heads, ch // heads, cfg.cross_attention_dim,
                         cfg.use_linear_projection, dt, cfg.norm_groups,
-                        name=f"up_{i}_attn_{j}",
+                        cfg.num_views, name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i < len(cfg.up_block_types) - 1:
                 b, hh, ww, cc = h.shape

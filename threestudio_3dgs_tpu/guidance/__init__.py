@@ -1,1 +1,8 @@
-from . import base, fake, sds, stable_diffusion, temporal_zero123  # noqa: F401
+from . import (  # noqa: F401
+    base,
+    fake,
+    mvdream,
+    sds,
+    stable_diffusion,
+    temporal_zero123,
+)

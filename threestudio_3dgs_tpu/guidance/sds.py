@@ -67,6 +67,7 @@ def sds_loss(
     sched: dict,  # from sds_sched_scalars (traced scalars)
     cfg: SDSConfig,
     alphas_cumprod: Optional[jnp.ndarray] = None,
+    n_view: int = 1,  # >1: one shared timestep per scene of n_view views
 ) -> Tuple[jnp.ndarray, dict]:
     if alphas_cumprod is None:
         alphas_cumprod = ddpm_alphas_cumprod(cfg.num_train_timesteps)
@@ -75,7 +76,9 @@ def sds_loss(
     max_step = sched["max_step"]
 
     k_t, k_eps, k_dn = jax.random.split(key, 3)
-    t = jax.random.randint(k_t, (b,), min_step, max_step + 1)
+    t = jax.random.randint(k_t, (b // n_view,), min_step, max_step + 1)
+    if n_view > 1:
+        t = jnp.repeat(t, n_view)
     alpha_bar = alphas_cumprod[t].reshape((b,) + (1,) * (latents.ndim - 1))
     noise = jax.random.normal(k_eps, latents.shape)
     noisy = jnp.sqrt(alpha_bar) * latents + jnp.sqrt(1.0 - alpha_bar) * noise
@@ -100,4 +103,63 @@ def sds_loss(
     target = jax.lax.stop_gradient(latents - grad)
     loss = 0.5 * jnp.sum((latents - target) ** 2) / b
     aux = {"grad_norm": jnp.linalg.norm(grad), "min_step": min_step, "max_step": max_step}
+    return loss, aux
+
+
+def sds_recon_loss(
+    latents: jnp.ndarray,  # (B, ...) differentiable latents, B = S*V views
+    denoise_fn: Callable,  # (noisy, t, key) -> (eps_uncond, eps_cond)
+    key: jnp.ndarray,
+    sched: dict,
+    cfg: SDSConfig,
+    alphas_cumprod: Optional[jnp.ndarray] = None,
+    n_view: int = 4,
+    recon_std_rescale: float = 0.5,
+) -> Tuple[jnp.ndarray, dict]:
+    """MVDream's reconstruction-mode SDS (threestudio-mvdream guidance,
+    `recon_loss: true` in reference configs/gaussian_splatting_mvdream.yaml:90):
+    denoise to an x0 estimate under CFG, rescale its per-scene std toward the
+    unguided estimate (CFG over-saturation fix), and take MSE against it.
+    One shared timestep per scene (all V views of a scene get the same t)."""
+    if alphas_cumprod is None:
+        alphas_cumprod = ddpm_alphas_cumprod(cfg.num_train_timesteps)
+    b = latents.shape[0]
+    scenes = b // n_view
+
+    k_t, k_eps, k_dn = jax.random.split(key, 3)
+    t_scene = jax.random.randint(
+        k_t, (scenes,), sched["min_step"], sched["max_step"] + 1
+    )
+    t = jnp.repeat(t_scene, n_view)
+    alpha_bar = alphas_cumprod[t].reshape((b,) + (1,) * (latents.ndim - 1))
+    noise = jax.random.normal(k_eps, latents.shape)
+    noisy = jnp.sqrt(alpha_bar) * latents + jnp.sqrt(1.0 - alpha_bar) * noise
+
+    eps_uncond, eps_cond = denoise_fn(jax.lax.stop_gradient(noisy), t, k_dn)
+    eps_pred = eps_uncond + cfg.guidance_scale * (eps_cond - eps_uncond)
+
+    sqrt_ab = jnp.sqrt(alpha_bar)
+    sqrt_1ab = jnp.sqrt(1.0 - alpha_bar)
+    recon = (noisy - sqrt_1ab * eps_pred) / sqrt_ab
+    if recon_std_rescale > 0:
+        recon_nocfg = (noisy - sqrt_1ab * eps_cond) / sqrt_ab
+        per_scene = lambda x: x.reshape((scenes, -1))
+        std = jnp.std(per_scene(recon), axis=1) + 1e-8
+        std_nocfg = jnp.std(per_scene(recon_nocfg), axis=1)
+        factor = (std_nocfg / std).reshape(
+            (scenes,) + (1,) * (latents.ndim - 1)
+        )
+        adjusted = recon.reshape((scenes, n_view) + latents.shape[1:]) * factor[
+            :, None
+        ]
+        adjusted = adjusted.reshape(latents.shape)
+        recon = recon_std_rescale * adjusted + (1 - recon_std_rescale) * recon
+
+    target = jax.lax.stop_gradient(recon)
+    loss = 0.5 * jnp.mean(jnp.sum((latents - target) ** 2, axis=tuple(range(1, latents.ndim))))
+    aux = {
+        "grad_norm": jnp.linalg.norm(latents - target),
+        "min_step": sched["min_step"],
+        "max_step": sched["max_step"],
+    }
     return loss, aux

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -20,4 +21,12 @@ def depth_to_normal(xyz_map: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize_vec(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Gradient-safe L2 normalize: zero vectors map to zero with FINITE
+    gradients.  `v / max(norm(v), eps)` is NOT safe -- the reverse-mode
+    derivative of norm at v=0 is NaN and 0*NaN poisons the whole backward
+    pass (this silently NaN'd every shading/normal-renderer config: the
+    background pixels of the depth->normal map are exactly zero)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    is_zero = sq < eps * eps
+    safe_sq = jnp.where(is_zero, 1.0, sq)  # double-where: keep rsqrt off 0
+    return jnp.where(is_zero, 0.0, v * jax.lax.rsqrt(safe_sq))

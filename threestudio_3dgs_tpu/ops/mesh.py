@@ -16,12 +16,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _safe_unit(v: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """L2-normalize with zero vectors -> zero output AND zero gradient.
+    `v / max(norm(v), eps)` leaks NaN through reverse-mode at v=0 (the
+    norm derivative is 0/0 and 0*NaN = NaN); degenerate faces/padded
+    vertices hit this in the SuGaR smoothness losses."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    is_zero = sq < eps * eps
+    safe_sq = jnp.where(is_zero, 1.0, sq)
+    return jnp.where(is_zero, 0.0, v * jax.lax.rsqrt(safe_sq))
+
+
 def face_normals(verts: jnp.ndarray, faces: jnp.ndarray, eps=1e-12) -> jnp.ndarray:
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
     n = jnp.cross(v1 - v0, v2 - v0)
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+    return _safe_unit(n, eps)
 
 
 def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray, eps=1e-12) -> jnp.ndarray:
@@ -33,7 +44,7 @@ def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray, eps=1e-12) -> jnp.nda
     vn = jnp.zeros_like(verts)
     for k in range(3):
         vn = vn.at[faces[:, k]].add(fn)
-    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), eps)
+    return _safe_unit(vn, eps)
 
 
 class MeshTopology(NamedTuple):
@@ -84,9 +95,12 @@ def laplacian_smoothing_loss(
     mean_nbr = jnp.sum(nbrs * nbr_mask[..., None], axis=1) / deg
     lap = mean_nbr - verts
     has_nbr = (jnp.sum(nbr_mask, axis=1) > 0).astype(verts.dtype)
-    return jnp.sum(jnp.linalg.norm(lap, axis=-1) * has_nbr) / jnp.maximum(
-        jnp.sum(has_nbr), 1.0
-    )
+    # gradient-safe |lap|: sqrt at exactly 0 has a NaN derivative that the
+    # has_nbr mask does NOT stop in reverse mode (0 * NaN = NaN)
+    sq = jnp.sum(lap * lap, axis=-1)
+    is_zero = sq < 1e-24
+    lap_norm = jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+    return jnp.sum(lap_norm * has_nbr) / jnp.maximum(jnp.sum(has_nbr), 1.0)
 
 
 def prune_isolated_components(

@@ -10,11 +10,17 @@ reference geometry/gaussian_base.py:436-438).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Gradient-safe: an all-zero quaternion returns zero with finite (zero)
+    gradients instead of poisoning the backward pass with 0/0 NaNs."""
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    is_zero = sq < eps * eps
+    safe_sq = jnp.where(is_zero, 1.0, sq)
+    return jnp.where(is_zero, 0.0, q * jax.lax.rsqrt(safe_sq))
 
 
 def to_rotation_matrix(q: jnp.ndarray) -> jnp.ndarray:
