@@ -71,19 +71,16 @@ def bin_gaussians(
     packed = pair_bits + tile_bits <= 31
 
     # ---- global depth sort (invisible last) ------------------------------
+    # ONE payload-carrying sort replaces argsort + (N, 4-10)-row gather:
+    # TPU sort payloads cost ~1 ms/column while a random row gather is
+    # per-row bound (~7 ms/M rows) -- see PERF.md cost table
     sort_depth = jnp.where(proj.visible, proj.depths, jnp.inf)
-    depth_order = jnp.argsort(sort_depth).astype(jnp.int32)
     iota_n = jnp.arange(n, dtype=jnp.int32)
-    inv_depth_order = (
-        jnp.zeros(n, jnp.int32).at[depth_order].set(iota_n, unique_indices=True)
-    )
 
     rect_w = (proj.tiles_max[:, 0] - proj.tiles_min[:, 0]).astype(jnp.int32)
     rect_h = (proj.tiles_max[:, 1] - proj.tiles_min[:, 1]).astype(jnp.int32)
     counts_all = jnp.where(proj.visible, rect_w * rect_h, 0).astype(jnp.int32)
 
-    # ONE (N, 4 or 10) row gather into depth order: TPU gathers are per-row
-    # bound, so k scalar gathers cost ~k/2x one packed row gather
     cols = [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all]
     if cull:
         cols += [
@@ -94,9 +91,15 @@ def bin_gaussians(
             proj.conics[:, 2],
             jax.lax.stop_gradient(opacities),
         ]
-    fields_d = jnp.stack(
-        [c.astype(jnp.float32) for c in cols], axis=1
-    )[depth_order]
+    sorted_cols = jax.lax.sort(
+        (sort_depth, iota_n) + tuple(c.astype(jnp.float32) for c in cols),
+        num_keys=1,
+    )
+    depth_order = sorted_cols[1]
+    fields_d = jnp.stack(sorted_cols[2:], axis=1)
+    inv_depth_order = (
+        jnp.zeros(n, jnp.int32).at[depth_order].set(iota_n, unique_indices=True)
+    )
     counts = fields_d[:, 3].astype(jnp.int32)
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
     total = offsets[-1] + counts[-1]

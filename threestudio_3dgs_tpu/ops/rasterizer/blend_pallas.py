@@ -62,14 +62,29 @@ def _tri_incl(shape):
 
 
 def _cumsum_lane(x):
+    # The triangular matmul is the kernel's FLOP hot spot (npix x 128 x 128
+    # per block = 16.8 MMAC, ~5x everything else combined).  The triangular
+    # matrix is EXACT in bf16 (zeros/ones), so a 3-term bf16 split of x
+    # (residual error ~2^-27 relative -- the 2-term split's 2^-18 compounds
+    # visibly through the per-block transmittance carry over ~50 blocks)
+    # needs 3 MXU passes vs 6 for f32 HIGHEST: 2x faster at f32-class
+    # accuracy.  Scan inputs are logs in [-4.6, 0] (no cancellation).
     n = x.shape[1]
-    return jax.lax.dot_general(
-        x,
-        _tri_incl((n, n)),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    tri = _tri_incl((n, n)).astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(a):
+        return jax.lax.dot_general(
+            a,
+            tri,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return mm(hi) + (mm(mid) + mm(lo))
 
 
 def _cumprod_lane(x):
