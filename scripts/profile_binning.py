@@ -1,21 +1,22 @@
-"""Stage-level timing of bin_gaussians at the bench config (1M gaussians, 512^2)."""
+"""Sub-stage timing inside bin_gaussians + the pair-gather backward, on the
+real chip with realistic 1M-Gaussian 512^2 state."""
+
 import time
-import numpy as np
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from threestudio_3dgs_tpu.ops import camera as cam_mod
-from threestudio_3dgs_tpu.ops.rasterizer import RasterizeConfig
-from threestudio_3dgs_tpu.ops.rasterizer.preprocess import project_gaussians
 from threestudio_3dgs_tpu.ops.rasterizer import binning as bin_mod
+from threestudio_3dgs_tpu.ops.rasterizer.preprocess import project_gaussians
 
 n = 1_000_000
-height = width = 512
 rng = np.random.default_rng(0)
 means = rng.normal(size=(n, 3)).astype(np.float32) * 0.35
 scales = np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.3 - 5.2)
 quats = rng.normal(size=(n, 4)).astype(np.float32)
-opac = rng.uniform(0.2, 0.9, size=(n,)).astype(np.float32)
+opacities = rng.uniform(0.2, 0.9, size=(n,)).astype(np.float32)
 
 eye = np.array([0.0, -2.5, 0.5])
 fwd = -eye / np.linalg.norm(eye)
@@ -23,89 +24,144 @@ right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
 up = np.cross(right, fwd)
 c2w = np.eye(4, dtype=np.float32)
 c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
-cam = cam_mod.camera_from_c2w(jnp.asarray(c2w), 0.9, 0.9, height, width)
-cfg = RasterizeConfig(tile_size=32, max_pairs=2**21)
-grid_x = (width + cfg.tile_size - 1) // cfg.tile_size
-grid_y = (height + cfg.tile_size - 1) // cfg.tile_size
-max_pairs = cfg.max_pairs
-num_tiles = grid_x * grid_y
-pair_bits = max(int(max_pairs - 1).bit_length(), 1)
+cam = cam_mod.camera_from_c2w(jnp.asarray(c2w), 0.9, 0.9, 512, 512)
+ts, grid_x, grid_y, max_pairs = 32, 16, 16, 2**21
 
-proj = jax.jit(lambda m, s, q: project_gaussians(m, s, q, cam, cfg.tile_size))(
-    jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats))
-jax.block_until_ready(proj)
+args = tuple(map(jnp.asarray, (means, scales, quats, opacities)))
 
-def timeit(name, fn, *args, iters=20):
-    out = fn(*args); jax.block_until_ready(out)
+
+def timeit(f, *a, iters=10, warm=2):
+    for _ in range(warm):
+        r = f(*a)
+    jax.block_until_ready(r)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters * 1000
-    print(f"{name:42s} {dt:8.2f} ms")
-    return out
+        r = f(*a)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+# shared prefix: projection (subtract from later numbers)
+@jax.jit
+def s_proj(ms, sc, qt):
+    p = project_gaussians(ms, sc, qt, cam, tile_size=ts)
+    return p.means2d.sum() + p.conics.sum() + p.depths.sum() + p.tiles_min.sum()
+
+
+t_proj = timeit(s_proj, *args[:3])
+print(f"proj:                 {t_proj:7.2f} ms")
+
+
+def proj_of(ms, sc, qt):
+    p = project_gaussians(ms, sc, qt, cam, tile_size=ts)
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, p)
+
+
+# depth payload sort only
+@jax.jit
+def s_depthsort(ms, sc, qt, op):
+    proj = proj_of(ms, sc, qt)
+    sort_depth = jnp.where(proj.visible, proj.depths, jnp.inf)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    rect_w = (proj.tiles_max[:, 0] - proj.tiles_min[:, 0]).astype(jnp.int32)
+    rect_h = (proj.tiles_max[:, 1] - proj.tiles_min[:, 1]).astype(jnp.int32)
+    counts_all = jnp.where(proj.visible, rect_w * rect_h, 0).astype(jnp.int32)
+    cols = [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all,
+            proj.means2d[:, 0], proj.means2d[:, 1], proj.conics[:, 0],
+            proj.conics[:, 1], proj.conics[:, 2], op]
+    sorted_cols = jax.lax.sort(
+        (sort_depth, iota_n) + tuple(c.astype(jnp.float32) for c in cols),
+        num_keys=1)
+    return sum(c.sum() for c in sorted_cols[1:])
+
+
+print(f"depth payload sort:   {timeit(s_depthsort, *args) - t_proj:7.2f} ms")
+
 
 # full binning
-timeit("bin_gaussians (total)", jax.jit(lambda p: bin_mod.bin_gaussians(p, grid_x, grid_y, max_pairs)), proj)
+@jax.jit
+def s_bin(ms, sc, qt, op):
+    proj = proj_of(ms, sc, qt)
+    b = bin_mod.bin_gaussians(proj, grid_x, grid_y, max_pairs, tile_size=ts,
+                              opacities=op)
+    return (b.pair_gauss.sum(), b.pair_gm.sum(), b.tile_ranges.sum(),
+            b.slot.sum(), b.offsets.sum())
 
-# stage 1: depth argsort
-def s1(p):
-    sd = jnp.where(p.visible, p.depths, jnp.inf)
-    order = jnp.argsort(sd).astype(jnp.int32)
+
+t_bin = timeit(s_bin, *args)
+print(f"full binning:         {t_bin - t_proj:7.2f} ms")
+
+# binning minus the tile sort: monkeypatch? instead time expand alone by
+# reconstructing binning internals without the final sort
+@jax.jit
+def s_expand(ms, sc, qt, op):
+    proj = proj_of(ms, sc, qt)
+    sort_depth = jnp.where(proj.visible, proj.depths, jnp.inf)
     iota_n = jnp.arange(n, dtype=jnp.int32)
-    inv = jnp.zeros(n, jnp.int32).at[order].set(iota_n, unique_indices=True)
-    return order, inv
-depth_order, inv_depth = timeit("depth argsort + inv scatter", jax.jit(s1), proj)
-
-def s2(p, order):
-    rw = (p.tiles_max[:, 0] - p.tiles_min[:, 0]).astype(jnp.int32)
-    rh = (p.tiles_max[:, 1] - p.tiles_min[:, 1]).astype(jnp.int32)
-    ca = jnp.where(p.visible, rw * rh, 0).astype(jnp.int32)
-    counts = ca[order]
+    rect_w = (proj.tiles_max[:, 0] - proj.tiles_min[:, 0]).astype(jnp.int32)
+    rect_h = (proj.tiles_max[:, 1] - proj.tiles_min[:, 1]).astype(jnp.int32)
+    counts_all = jnp.where(proj.visible, rect_w * rect_h, 0).astype(jnp.int32)
+    cols = [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all,
+            proj.means2d[:, 0], proj.means2d[:, 1], proj.conics[:, 0],
+            proj.conics[:, 1], proj.conics[:, 2],
+            jax.lax.stop_gradient(op)]
+    sorted_cols = jax.lax.sort(
+        (sort_depth, iota_n) + tuple(c.astype(jnp.float32) for c in cols),
+        num_keys=1)
+    depth_order = sorted_cols[1]
+    fields_d = jnp.stack(sorted_cols[2:], axis=1)
+    counts = fields_d[:, 3].astype(jnp.int32)
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
-    return counts, offsets
-counts, offsets = timeit("counts+offsets (gather+cumsum)", jax.jit(s2), proj, depth_order)
+    from threestudio_3dgs_tpu.ops.rasterizer.expand_pallas import expand_bin_pallas
+    slot, g, tile_id = expand_bin_pallas(
+        offsets, depth_order, fields_d[:, 0], fields_d[:, 1], fields_d[:, 2],
+        grid_x, max_pairs, tile_size=ts, num_tiles=grid_x * grid_y,
+        cull_fields_d=fields_d[:, 4:10])
+    return slot.sum() + g.sum() + tile_id.sum()
 
-from threestudio_3dgs_tpu.ops.rasterizer.expand_pallas import expand_slots_pallas
-slot = timeit("expand (pallas)", jax.jit(lambda o: expand_slots_pallas(o, max_pairs)), offsets)
 
-def s4(p, order, offs, slot_):
-    g = order[slot_]
-    r = jnp.arange(max_pairs, dtype=jnp.int32) - offs[slot_]
-    rw = (p.tiles_max[:, 0] - p.tiles_min[:, 0]).astype(jnp.int32)
-    w = jnp.maximum(rw[g], 1)
-    q = jnp.floor(r.astype(jnp.float32) / w.astype(jnp.float32)).astype(jnp.int32)
-    rem = r - q * w
-    q = jnp.where(rem < 0, q - 1, jnp.where(rem >= w, q + 1, q))
-    rem = r - q * w
-    tx = p.tiles_min[g, 0] + rem
-    ty = p.tiles_min[g, 1] + q
-    tile_id = ty * grid_x + tx
-    return g, tile_id
-g, tile_id = timeit("per-pair tile id (gathers + divmod)", jax.jit(s4), proj, depth_order, offsets, slot)
+print(f"(depth sort+cumsum+expand): {timeit(s_expand, *args) - t_proj:7.2f} ms")
 
-total = offsets[-1] + counts[-1]
-n_pairs = jnp.minimum(total, max_pairs)
-def s5(tid, npair):
-    p = jnp.arange(max_pairs, dtype=jnp.int32)
-    valid = p < npair
-    key = jnp.where(valid, tid, num_tiles) << pair_bits | p
-    return jax.lax.sort(key)
-sorted_key = timeit("pack + lax.sort (P keys)", jax.jit(s5), tile_id, n_pairs)
 
-def s6(sk):
-    p = jnp.arange(max_pairs, dtype=jnp.int32)
-    pair_gm = sk & ((1 << pair_bits) - 1)
-    inv_perm = jnp.zeros(max_pairs, jnp.int32).at[pair_gm].set(p, mode="drop", unique_indices=True)
-    return pair_gm, inv_perm
-pair_gm, inv_perm = timeit("unpack + inv_perm scatter", jax.jit(s6), sorted_key)
+# pair-gather backward pieces, from a realistic binning
+proj_c = jax.jit(proj_of)(*args[:3])
+b_const = jax.jit(
+    lambda p, op: bin_mod.bin_gaussians(p, grid_x, grid_y, max_pairs,
+                                        tile_size=ts, opacities=op)
+)(proj_c, args[3])
+b_const = jax.tree_util.tree_map(jnp.asarray, b_const)
+d_pairs = jnp.asarray(rng.normal(size=(max_pairs, 10)).astype(np.float32))
 
-def s7(sk):
-    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << pair_bits
-    return jnp.searchsorted(sk, boundaries, side="left").astype(jnp.int32)
-timeit("tile_ranges searchsorted", jax.jit(s7), sorted_key)
+bwd = jax.jit(lambda d: bin_mod._gather_bwd_impl(b_const, d))
+print(f"pair-gather bwd total: {timeit(bwd, d_pairs):7.2f} ms")
 
-def s8(gm, g_):
-    return g_[gm]
-timeit("pair_gauss gather", jax.jit(s8), pair_gm, g)
-print("n_pairs:", int(n_pairs), "total:", int(total))
+
+@jax.jit
+def s_sort_only(d):
+    sorted_cols = jax.lax.sort(
+        (b_const.pair_gm,) + tuple(d[:, j] for j in range(d.shape[1])),
+        num_keys=1)
+    return sum(c.sum() for c in sorted_cols[1:])
+
+
+print(f"  bwd permute sort:    {timeit(s_sort_only, d_pairs):7.2f} ms")
+
+
+@jax.jit
+def s_segsum(d):
+    from threestudio_3dgs_tpu.ops.rasterizer.segsum_pallas import (
+        segsum_monotone_pallas,
+    )
+    return segsum_monotone_pallas(d, b_const.slot, b_const.n_pairs, n).sum()
+
+
+print(f"  bwd segsum:          {timeit(s_segsum, d_pairs):7.2f} ms")
+
+
+@jax.jit
+def s_undo(dn):
+    return dn[b_const.inv_depth_order].sum()
+
+
+dn = jnp.asarray(rng.normal(size=(n, 10)).astype(np.float32))
+print(f"  bwd undo gather:     {timeit(s_undo, dn):7.2f} ms")

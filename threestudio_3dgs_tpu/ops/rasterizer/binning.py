@@ -107,7 +107,9 @@ def bin_gaussians(
     n_dropped = total - n_pairs
 
     # ---- expand: pair p -> (depth-rank slot, gaussian, covered tile) -----
-    if jax.default_backend() == "tpu" and max_pairs % 1024 == 0:
+    from .expand_pallas import TILE as _EXPAND_TILE
+
+    if jax.default_backend() == "tpu" and max_pairs % _EXPAND_TILE == 0:
         # one-pass Pallas merge scan with fused in-window field select (the
         # XLA path below costs ~160 ms at 2M pairs: five random 2M-row
         # gathers + divmod; the kernel does it in ~8 ms)
@@ -235,7 +237,7 @@ def _gather_bwd_impl(binning, d_pairs):
         from .segsum_pallas import segsum_monotone_pallas
 
         d_sorted = segsum_monotone_pallas(
-            d_gm, binning.slot, binning.n_pairs, n
+            d_gm, binning.slot, binning.n_pairs, n, seg_offsets=binning.offsets
         )
     else:
         prefix = jnp.concatenate(

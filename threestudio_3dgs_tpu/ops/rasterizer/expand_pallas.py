@@ -25,9 +25,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # pairs per grid program
+TILE = 512  # pairs per grid program (window work is quadratic-ish in TILE;
+# with cross-program double-buffered DMA the extra programs are ~free)
 WIN = TILE + 256  # offsets window (TILE new segments + alignment slack)
-WCHUNK = 256  # window columns per comparison chunk (keeps VMEM small)
+RPF = TILE // 128  # output sublane rows per field (lane dim stays 128)
+ORows = (3 * RPF + 7) // 8 * 8  # slot|gauss|tile rows, padded to f32 tile
 
 
 def _tile_reachable(x0, y0, tile_size, mx, my, ca, cb, cc, opa):
@@ -72,9 +74,7 @@ def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
     le = jnp.logical_and(offs <= pair_pos, entry_idx >= i0)  # (TILE, WIN)
     cnt = jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True)
     slot_col = i0 + cnt - 1  # (TILE, 1)
-    sscr[...] = jnp.broadcast_to(
-        slot_col.reshape(8, TILE // 8), (8, TILE // 8)
-    )
+    sscr[0:RPF, :] = slot_col.reshape(RPF, 128)
     wr = pltpu.make_async_copy(sscr, out_hbm.at[t], sem_w)
     wr.start()
     wr.wait()
@@ -82,7 +82,7 @@ def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
 
 def _bin_kernel(
     i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *,
-    grid_x, tile_size, num_tiles, cull,
+    grid_x, tile_size, num_tiles, cull, nt,
 ):
     """Fused expand + per-pair tile id (+ exact tile-ellipse culling).
 
@@ -105,28 +105,65 @@ def _bin_kernel(
     p0 = t * TILE
     i0 = i0_ref[t]
     w0 = (i0 // 128) * 128  # lane-aligned window start, w0 <= i0 < w0+128
-    rd = pltpu.make_async_copy(vals_hbm.at[:, pl.ds(w0, WIN)], vscr, sem_v)
-    rd.start()
-    rd.wait()
+    s = jax.lax.rem(t, 2)
 
-    offs = vscr[0:1, :]  # (1, WIN) f32 (exact: offsets < 2^24)
+    def rd(tt, ss):
+        ww = (i0_ref[tt] // 128) * 128
+        return pltpu.make_async_copy(
+            vals_hbm.at[:, pl.ds(ww, WIN)], vscr.at[ss], sem_v.at[ss]
+        )
+
+    # cross-program double buffering: scratch persists across sequential grid
+    # steps, so program t waits on the read program t-1 issued for it and
+    # prefetches t+1's window -- the ~3 us DMA latency vanishes from the
+    # critical path (it dominated this kernel: 2048 programs x start+wait)
+    @pl.when(t == 0)
+    def _():
+        rd(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        rd(t + 1, 1 - s).start()
+
+    rd(t, s).wait()
+    offs = vscr[s, 0:1, :]  # (1, WIN) f32 (exact: offsets < 2^24)
     pair_pos = p0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
     pair_pos_f = pair_pos.astype(jnp.float32)
     entry_idx = w0 + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
     le = jnp.logical_and(offs <= pair_pos_f, entry_idx >= i0)  # (TILE, WIN)
-    cnt = jnp.sum(le.astype(jnp.int32), axis=1, keepdims=True)
+    # lane-count via ONE bf16 MXU pass (le and the accumulation are exact in
+    # bf16 products + f32 accumulate) -- the VPU lane-reduction it replaces
+    # was this kernel's hot spot (log2(WIN) full-width roll+add passes)
+    ones_col = jnp.ones((WIN, 128), jnp.bfloat16)
+    cnt_m = jax.lax.dot_general(
+        le.astype(jnp.bfloat16),
+        ones_col,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE, 128), every column the count
+    cnt = cnt_m[:, 0:1].astype(jnp.int32)
     slot_col = i0 + cnt - 1  # (TILE, 1)
 
     # one-hot select of the per-slot field rows: (F, WIN) @ (WIN, TILE).
-    # Exact also for f32 fields: each output is 1.0 * value + zeros.
-    onehot = (entry_idx == slot_col).astype(jnp.float32)  # (TILE, WIN)
-    sel = jax.lax.dot_general(
-        vscr[...],
-        onehot,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (F, TILE): rows offs|g|tmx|tmy|w[|mx|my|ca|cb|cc|opa]
+    # 3-term bf16 split of the field rows (exact for ints < 2^24, f32-class
+    # for the conic/mean fields) -- 3 MXU passes vs 6 for f32 HIGHEST.
+    onehot = (entry_idx == slot_col).astype(jnp.bfloat16)  # (TILE, WIN)
+    v_f32 = vscr[s]
+    v_hi = v_f32.astype(jnp.bfloat16)
+    r1 = v_f32 - v_hi.astype(jnp.float32)
+    v_mid = r1.astype(jnp.bfloat16)
+    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def sel_mm(a):
+        return jax.lax.dot_general(
+            a,
+            onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    sel = sel_mm(v_hi) + (sel_mm(v_mid) + sel_mm(v_lo))
+    # (F, TILE): rows offs|g|tmx|tmy|w[|mx|my|ca|cb|cc|opa]
     pair_row = (
         p0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     ).astype(jnp.float32)
@@ -151,12 +188,27 @@ def _bin_kernel(
         )
         tile_row = jnp.where(keep, tile_row, float(num_tiles))
 
-    oscr[0:8, :] = slot_col.reshape(8, TILE // 8)
-    oscr[8:16, :] = g_row.astype(jnp.int32).reshape(8, TILE // 8)
-    oscr[16:24, :] = tile_row.astype(jnp.int32).reshape(8, TILE // 8)
-    wr = pltpu.make_async_copy(oscr, out_hbm.at[t], sem_w)
-    wr.start()
-    wr.wait()
+    def wr(tt, ss):
+        return pltpu.make_async_copy(oscr.at[ss], out_hbm.at[tt], sem_w.at[ss])
+
+    # this slot's previous write (issued at t-2) must have landed
+    @pl.when(t >= 2)
+    def _():
+        wr(t - 2, s).wait()
+
+    oscr[s, 0:RPF, :] = slot_col.reshape(RPF, 128)
+    oscr[s, RPF : 2 * RPF, :] = g_row.astype(jnp.int32).reshape(RPF, 128)
+    oscr[s, 2 * RPF : 3 * RPF, :] = tile_row.astype(jnp.int32).reshape(RPF, 128)
+    wr(t, s).start()
+
+    # drain both in-flight writes on the last program
+    @pl.when(t == nt - 1)
+    def _():
+        @pl.when(nt >= 2)
+        def _():
+            wr(t - 1, 1 - s).wait()
+
+        wr(t, s).wait()
 
 
 def expand_bin_pallas(
@@ -214,10 +266,10 @@ def expand_bin_pallas(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((f_rows, WIN), jnp.float32),
-            pltpu.VMEM((24, TILE // 8), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, f_rows, WIN), jnp.float32),
+            pltpu.VMEM((2, ORows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -227,15 +279,16 @@ def expand_bin_pallas(
             tile_size=tile_size,
             num_tiles=num_tiles,
             cull=cull,
+            nt=nt,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, 24, TILE // 8), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nt, ORows, 128), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(i0s, vals)
-    slot = out[:, 0:8, :].reshape(-1)
-    gauss = out[:, 8:16, :].reshape(-1)
-    tile_id = out[:, 16:24, :].reshape(-1)
+    slot = out[:, 0:RPF, :].reshape(-1)
+    gauss = out[:, RPF : 2 * RPF, :].reshape(-1)
+    tile_id = out[:, 2 * RPF : 3 * RPF, :].reshape(-1)
     return slot, gauss, tile_id
 
 
@@ -267,7 +320,7 @@ def expand_slots_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((8, WIN), jnp.int32),
-            pltpu.VMEM((8, TILE // 8), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -275,8 +328,8 @@ def expand_slots_pallas(
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, 8, TILE // 8), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nt, 8, 128), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(i0s, offs_2d)
-    return out.reshape(-1)
+    return out[:, 0:RPF, :].reshape(-1)
