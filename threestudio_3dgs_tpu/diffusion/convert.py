@@ -210,6 +210,59 @@ def torch_vae_decoder_to_flax(sd) -> dict:
     return _vae_half_to_flax(sd, "decoder", "post_quant_conv")
 
 
+def fuse_lora(base_sd: Dict[str, "object"], lora_sd: Dict[str, "object"],
+              scale: float = 1.0) -> Dict[str, "object"]:
+    """Fuse a LoRA adapter into a torch-layout base state dict:
+    W' = W + scale * (alpha/r) * up @ down  (reference
+    guidance/stable_diffusion_lora_guidance.py:27-50 does this through
+    diffusers `fuse_lora`; here it happens once, offline, before the
+    torch->flax conversion so the TPU denoiser runs the personalized prior
+    with zero runtime overhead).
+
+    Supports the two common namings:
+      * peft:      "{module}.lora_A.weight" / "{module}.lora_B.weight"
+      * diffusers: "{module}.lora.down.weight" / "{module}.lora.up.weight"
+    Optional per-module "...alpha" scalars rescale by alpha/rank."""
+    fused = dict(base_sd)
+    pairs: Dict[str, dict] = {}
+    for key, value in lora_sd.items():
+        for suffix, role in (
+            (".lora_A.weight", "down"),
+            (".lora_B.weight", "up"),
+            (".lora.down.weight", "down"),
+            (".lora.up.weight", "up"),
+            (".lora_down.weight", "down"),
+            (".lora_up.weight", "up"),
+            (".alpha", "alpha"),
+        ):
+            if key.endswith(suffix):
+                module = key[: -len(suffix)]
+                pairs.setdefault(module, {})[role] = np.asarray(value)
+                break
+    for module, d in pairs.items():
+        if "down" not in d or "up" not in d:
+            continue
+        down, up = d["down"], d["up"]
+        rank = down.shape[0]
+        alpha = float(d.get("alpha", rank))
+        target = module + ".weight"
+        if target not in fused:
+            # peft sometimes prefixes "base_model.model."
+            stripped = target
+            for pre in ("base_model.model.", "unet."):
+                if stripped.startswith(pre):
+                    stripped = stripped[len(pre):]
+            if stripped not in fused:
+                raise KeyError(f"LoRA target not in base state dict: {target}")
+            target = stripped
+        w = np.asarray(fused[target], np.float32)
+        delta = (up.reshape(up.shape[0], -1) @ down.reshape(rank, -1)).reshape(
+            w.shape
+        )
+        fused[target] = w + scale * (alpha / rank) * delta.astype(np.float32)
+    return fused
+
+
 def load_torch_state_dict(path: str):
     """Load a .bin (torch pickle) or .safetensors file as numpy dict."""
     if path.endswith(".safetensors"):

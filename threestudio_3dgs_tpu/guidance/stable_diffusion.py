@@ -82,22 +82,37 @@ class StableDiffusionGuidance(BaseGuidance):
         if unet_file is None:
             return None
         from ..diffusion import SD21_UNET, UNet2DCondition, torch_unet_to_flax
-        from ..diffusion.convert import load_torch_state_dict
+        from ..diffusion.convert import fuse_lora, load_torch_state_dict
 
+        sd = load_torch_state_dict(unet_file)
+        lora_path = str(self.cfg.lora_model_name_or_path or "")
+        if lora_path:
+            # LoRA personalization fused offline into the base weights
+            # (reference guidance/stable_diffusion_lora_guidance.py:27-50)
+            for cand in (
+                lora_path,
+                os.path.join(lora_path, "pytorch_lora_weights.safetensors"),
+                os.path.join(lora_path, "pytorch_lora_weights.bin"),
+            ):
+                if os.path.isfile(cand):
+                    sd = fuse_lora(
+                        sd, load_torch_state_dict(cand), self.cfg.lora_scale
+                    )
+                    break
         model = UNet2DCondition(SD21_UNET)
         params = jax.tree_util.tree_map(
-            jnp.asarray,
-            torch_unet_to_flax(load_torch_state_dict(unet_file)),
+            jnp.asarray, torch_unet_to_flax(sd)
         )
 
         def denoiser(noisy, t, key, emb):
-            # CFG pair batch: [uncond | cond]
+            # CFG pair batch: [uncond | cond]; emb (L, D) shared or (B, L, D)
+            # per-sample (view-dependent prompting)
             b = noisy.shape[0]
-            ctx = jnp.concatenate(
-                [jnp.zeros_like(emb[None]), emb[None]], axis=0
-            ) if emb.ndim == 2 else emb
-            ctx_u = jnp.broadcast_to(ctx[0], (b,) + ctx.shape[1:])
-            ctx_c = jnp.broadcast_to(ctx[-1], (b,) + ctx.shape[1:])
+            if emb.ndim == 2:
+                ctx_c = jnp.broadcast_to(emb, (b,) + emb.shape)
+            else:
+                ctx_c = emb
+            ctx_u = jnp.zeros_like(ctx_c)
             both = jnp.concatenate([noisy, noisy], axis=0)
             ts = jnp.concatenate([t, t], axis=0)
             ctxs = jnp.concatenate([ctx_u, ctx_c], axis=0)
@@ -121,7 +136,13 @@ class StableDiffusionGuidance(BaseGuidance):
         ac = self.alphas_cumprod
 
         if self.denoiser is not None:
-            emb = prompt_utils.get_text_embeddings() if prompt_utils else None
+            emb = (
+                prompt_utils.get_text_embeddings(
+                    batch.get("elevation"), batch.get("azimuth")
+                )
+                if prompt_utils
+                else None
+            )
 
             def denoise_fn(noisy, t, k):
                 return self.denoiser(noisy, t, k, emb)

@@ -33,6 +33,46 @@ from .base import BaseGuidance
 from .sds import SDSConfig, ddpm_alphas_cumprod, sds_loss, sds_sched_scalars
 
 
+def zero123_context(clip_emb: jnp.ndarray, cam_emb: jnp.ndarray,
+                    cc_w: jnp.ndarray, cc_b: jnp.ndarray) -> jnp.ndarray:
+    """Zero123 conditioning context: concat the CLIP image embedding (B, 768)
+    with the 4-d relative camera (reference :260-272), project through the
+    cc_projection linear (772 -> 768), one token per sample (B, 1, 768)."""
+    x = jnp.concatenate([clip_emb, cam_emb.astype(clip_emb.dtype)], axis=-1)
+    return (x @ cc_w + cc_b)[:, None, :]
+
+
+def _clip_image_encode_local(image_encoder_dir: str, frames: np.ndarray):
+    """Per-frame projected CLIP image embeddings (T, 768) from a LOCAL
+    diffusers-layout image_encoder/, or None.  Host CPU, once per video --
+    the reference's precompute pattern (:200-215)."""
+    import os
+
+    if not os.path.isdir(image_encoder_dir):
+        return None
+    try:
+        import torch
+        from transformers import CLIPVisionModelWithProjection
+
+        model = CLIPVisionModelWithProjection.from_pretrained(image_encoder_dir)
+        size = model.config.image_size
+        mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+        import jax as _jax
+
+        resized = _jax.image.resize(
+            jnp.asarray(frames, jnp.float32),
+            (frames.shape[0], size, size, 3),
+            "bilinear",
+        )
+        x = (np.asarray(resized) - mean) / std
+        with torch.no_grad():
+            out = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        return out.image_embeds.numpy()
+    except Exception:
+        return None
+
+
 @dataclasses.dataclass
 class TemporalZero123Config:
     pretrained_model_name_or_path: str = "load/zero123/zero123-xl.ckpt"
@@ -70,17 +110,128 @@ class _TemporalZero123Base(BaseGuidance):
         )
         self.alphas_cumprod = ddpm_alphas_cumprod()
         self.denoiser = None
+        self.encode_latents = None
         # per-frame conditioning; filled by prepare_embeddings
         self.cond_targets = jnp.full((cfg.num_frames, 3), 0.5)
 
     def prepare_embeddings(self, frames: np.ndarray) -> None:
         """frames (T, H, W, 3) in [0, 1]: the reference runs CLIP + VAE here
-        (:200-215); the analytic prior keeps the per-frame images (downsampled
-        mean color target) for frame-conditioned SDS."""
+        (:200-215).  With a local diffusers-layout checkpoint dir (unet/ +
+        vae/ + image_encoder/ [+ clip_camera_projection/]) the REAL path is
+        built: per-frame CLIP image embeddings (c_crossattn, host CPU once),
+        per-frame VAE mode latents (c_concat), the camera-conditioned context
+        projection, and the 8-channel Zero123 UNet denoiser.  Otherwise the
+        analytic prior keeps the per-frame images (downsampled mean color
+        target) for frame-conditioned SDS."""
         t = frames.shape[0]
         means = frames.reshape(t, -1, 3).mean(axis=1)
         self.cond_targets = jnp.asarray(means, jnp.float32)
         self._cond_frames = jnp.asarray(frames, jnp.float32)
+        path = str(self.cfg.pretrained_model_name_or_path)
+        import os
+
+        if os.path.isdir(path):
+            self._try_load_local(path, frames)
+
+    def _try_load_local(self, path: str, frames: np.ndarray) -> None:
+        import os
+
+        def find(sub):
+            for cand in (
+                f"{sub}/diffusion_pytorch_model.safetensors",
+                f"{sub}/diffusion_pytorch_model.bin",
+                f"{sub}/model.safetensors",
+                f"{sub}/pytorch_model.bin",
+            ):
+                full = os.path.join(path, cand)
+                if os.path.exists(full):
+                    return full
+            return None
+
+        unet_file = find("unet")
+        vae_file = find("vae")
+        if unet_file is None or vae_file is None:
+            return
+        clip_embs = _clip_image_encode_local(os.path.join(path, "image_encoder"), frames)
+        if clip_embs is None:
+            return
+
+        import dataclasses as dc
+
+        from ..diffusion import ZERO123_UNET, UNet2DCondition, torch_unet_to_flax
+        from ..diffusion.convert import (
+            load_torch_state_dict,
+            torch_vae_encoder_to_flax,
+        )
+        from ..diffusion.vae import SD_VAE, VAEEncoder
+
+        enc = VAEEncoder(SD_VAE)
+        enc_params = jax.tree_util.tree_map(
+            jnp.asarray,
+            torch_vae_encoder_to_flax(load_torch_state_dict(vae_file)),
+        )
+
+        def vae_mode(rgb):
+            # zero123 c_concat = unscaled posterior MODE of the cond image
+            x = jax.image.resize(
+                rgb * 2.0 - 1.0, (rgb.shape[0], 256, 256, 3), "bilinear"
+            )
+            moments = enc.apply(enc_params, x)
+            return moments[..., : moments.shape[-1] // 2]
+
+        self.cond_concat = vae_mode(jnp.asarray(frames, jnp.float32))  # (T,32,32,4)
+        self.cond_crossattn = jnp.asarray(clip_embs)  # (T, 768)
+
+        # camera-conditioned context projection: linear (768+4 -> 768),
+        # shipped as clip_camera_projection/ in the diffusers zero123 ports
+        # or as `cc_projection.{weight,bias}` in the ldm checkpoint
+        ccp_file = find("clip_camera_projection")
+        if ccp_file is not None:
+            ccp_sd = load_torch_state_dict(ccp_file)
+            wkey = [k for k in ccp_sd if k.endswith("weight")][0]
+            bkey = [k for k in ccp_sd if k.endswith("bias")][0]
+            self.cc_w = jnp.asarray(np.transpose(ccp_sd[wkey]))
+            self.cc_b = jnp.asarray(ccp_sd[bkey])
+        else:
+            self.cc_w = jnp.eye(772, 768)  # degenerate fallback: slice
+            self.cc_b = jnp.zeros(768)
+
+        model = UNet2DCondition(ZERO123_UNET)
+        params = jax.tree_util.tree_map(
+            jnp.asarray, torch_unet_to_flax(
+                load_torch_state_dict(unet_file), use_linear_projection=False
+            )
+        )
+
+        def denoiser(noisy, t, key, frame_idx, cam_emb):
+            b = noisy.shape[0]
+            ctx_c = zero123_context(
+                self.cond_crossattn[frame_idx], cam_emb, self.cc_w, self.cc_b
+            )  # (B, 1, 768)
+            ctx_u = jnp.zeros_like(ctx_c)
+            concat_c = self.cond_concat[frame_idx]  # (B, 32, 32, 4)
+            concat_u = jnp.zeros_like(concat_c)
+            x_c = jnp.concatenate([noisy, concat_c], axis=-1)
+            x_u = jnp.concatenate([noisy, concat_u], axis=-1)
+            both = jnp.concatenate([x_u, x_c], axis=0)
+            ts = jnp.concatenate([t, t], axis=0)
+            ctxs = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            eps = model.apply(params, both, ts, ctxs)
+            return eps[:b], eps[b:]
+
+        self.denoiser = denoiser
+        s = 32  # latent side at 256^2 conditioning resolution
+
+        def encode(rgb, key):
+            from ..diffusion.vae import sample_latents
+
+            x = jax.image.resize(
+                rgb * 2.0 - 1.0, (rgb.shape[0], 256, 256, 3), "bilinear"
+            )
+            moments = enc.apply(enc_params, x)
+            return sample_latents(moments, key, 0.18215)
+
+        self.encode_latents = encode
 
     def set_denoiser(self, fn):
         self.denoiser = fn
@@ -121,8 +272,18 @@ class _TemporalZero123Base(BaseGuidance):
         cam_emb = self.camera_embedding(batch)
 
         if self.denoiser is not None:
+            latents = rgb
+            if self.encode_latents is not None:
+                k_enc, key = jax.random.split(key)
+                latents = self.encode_latents(rgb, k_enc)
+
             def denoise_fn(noisy, t, k):
                 return self.denoiser(noisy, t, k, frame_idx, cam_emb)
+
+            loss, aux = sds_loss(
+                latents, denoise_fn, key, sched, self.sds_cfg, ac
+            )
+            return {"loss_sds": loss, "grad_norm": aux["grad_norm"]}
 
         else:
             targets = self.cond_targets[frame_idx]  # (B, 3)
