@@ -45,6 +45,45 @@ class Trainer:
         self.state = None
         self.step = 0
         self.metrics_log = []
+        self._metrics_file = None
+        self.wandb_run = self._init_wandb(cfg)
+
+    def _init_wandb(self, cfg: ExperimentConfig):
+        """Optional wandb logging (reference configs' `loggers.wandb` block,
+        reference configs/gaussian_splatting.yaml:71-75); silently off when
+        disabled or the package is absent (this environment has no egress)."""
+        # the reference nests `loggers` under system:
+        # (reference configs/gaussian_splatting.yaml:71-75); accept both
+        loggers = cfg.loggers or (cfg.system or {}).get("loggers", {}) or {}
+        wb_cfg = loggers.get("wandb", {})
+        if not wb_cfg.get("enable", False):
+            return None
+        try:
+            import wandb
+
+            return wandb.init(
+                project=wb_cfg.get("project", "threestudio-3dgs-tpu"),
+                name=wb_cfg.get("name", cfg.trial_name) or cfg.trial_name,
+                config=dict(cfg.__dict__),
+                dir=self.save_dir,
+            )
+        except Exception as e:  # pragma: no cover - wandb not installed here
+            print(f"[trainer] wandb disabled ({e})", flush=True)
+            return None
+
+    def _log_metrics(self, row: Dict[str, Any]) -> None:
+        """Crash-safe observability: append to save/metrics.jsonl immediately
+        (the reference relies on Lightning's logger; a mid-run crash there
+        loses nothing either)."""
+        self.metrics_log.append(row)
+        if self._metrics_file is None:
+            self._metrics_file = open(
+                os.path.join(self.save_dir, "metrics.jsonl"), "a"
+            )
+        self._metrics_file.write(json.dumps(row) + "\n")
+        self._metrics_file.flush()
+        if self.wandb_run is not None:
+            self.wandb_run.log(row, step=row.get("step"))
 
     # -- lifecycle -----------------------------------------------------------
     def fit(self, resume: Optional[str] = None):
@@ -71,7 +110,7 @@ class Trainer:
                 }
                 logs_host["step"] = self.step
                 logs_host["wall_s"] = round(time.time() - t_start, 1)
-                self.metrics_log.append(logs_host)
+                self._log_metrics(logs_host)
                 msg = " ".join(
                     f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                     for k, v in sorted(logs_host.items())
@@ -84,9 +123,11 @@ class Trainer:
                 self.save_ckpt("last.ckpt.npz")
 
         self.save_ckpt("last.ckpt.npz")
-        with open(os.path.join(self.save_dir, "metrics.jsonl"), "w") as f:
-            for row in self.metrics_log:
-                f.write(json.dumps(row) + "\n")
+        if self._metrics_file is not None:
+            self._metrics_file.close()
+            self._metrics_file = None
+        if self.wandb_run is not None:
+            self.wandb_run.finish()
         return self.state
 
     def validate(self):

@@ -296,6 +296,9 @@ class ExperimentConfig:
     system: Dict[str, Any] = dataclasses.field(default_factory=dict)
     trainer: Dict[str, Any] = dataclasses.field(default_factory=dict)
     checkpoint: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # reference configs carry a `loggers: wandb: {enable, project, name}`
+    # block (reference configs/gaussian_splatting.yaml:71-75)
+    loggers: Dict[str, Any] = dataclasses.field(default_factory=dict)
     resume: Optional[str] = None
 
     trial_name: str = ""
