@@ -109,3 +109,45 @@ class TestEndToEnd:
         trainer.export()
         export_dir = os.path.join(trainer.save_dir, "save", "export")
         assert os.path.exists(os.path.join(export_dir, "model.ply"))
+
+
+def test_adaptive_pair_capacity(tmp_path):
+    """Adaptive pair sizing: a tiny scene shrinks the static pair capacity
+    to min_pairs (bucketed), training stays finite, and a demand above
+    capacity grows it."""
+    import jax
+    import numpy as np
+    from threestudio_3dgs_tpu.systems.base import BaseGaussianSystem as BaseSystem
+    from threestudio_3dgs_tpu.utils.config import load_config
+    from threestudio_3dgs_tpu.trainer import Trainer
+
+    cfg = load_config(
+        "threestudio_3dgs_tpu/configs/gaussian_splatting.yaml",
+        overrides=[
+            "trainer.max_steps=5",
+            "trainer.val_check_interval=100",
+            "data.height=64", "data.width=64", "data.batch_size=1",
+            "system.guidance_type=fake-sds-guidance",
+            "system.renderer.adaptive_max_pairs=true",
+            "system.renderer.min_pairs=65536",
+            f"exp_root_dir={tmp_path}",
+        ],
+    )
+    tr = Trainer(cfg)
+    old_every = BaseSystem._ADAPT_EVERY
+    BaseSystem._ADAPT_EVERY = 2
+    try:
+        tr.system._BUCKET = 65536
+        tr.fit()
+        sys_ = tr.system
+        # tiny 64^2 scene: capacity must have shrunk below the config ceiling
+        assert sys_._capacity is not None
+        assert sys_._capacity < sys_.renderer.cfg.max_pairs
+        assert sys_._capacity >= 65536
+        # growth path: pretend demand exceeded capacity
+        sys_._pair_log = [(np.int32(sys_._capacity + 1000), np.int32(1000))]
+        cap_before = sys_._capacity
+        sys_._adapt_pair_capacity(sys_._ADAPT_EVERY)
+        assert sys_._capacity > cap_before
+    finally:
+        BaseSystem._ADAPT_EVERY = old_every

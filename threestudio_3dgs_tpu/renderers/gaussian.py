@@ -40,14 +40,22 @@ class RendererConfig:
     invert_bg_prob: float = 1.0
     back_ground_color: Tuple[float, float, float] = (1, 1, 1)
     tile_size: int = 32
-    max_pairs: int = 2 ** 21
+    max_pairs: int = 2 ** 21  # ceiling; adaptive sizing stays below this
     impl: str = "auto"
+    # adaptive pair capacity: every pair-stage op (expand, sorts, gathers,
+    # blend) runs at the static capacity, so right-sizing it to the live
+    # scene is a direct throughput win (the CUDA reference allocates pair
+    # buffers exactly per frame -- bucketed static capacities are the XLA
+    # equivalent; each bucket change costs one retrace)
+    adaptive_max_pairs: bool = False
+    min_pairs: int = 256 * 1024
 
 
 class GaussianRendererBase:
     """Shared machinery.  Subclasses set class flags for channels."""
 
     Config = RendererConfig
+    max_pairs_override: Optional[int] = None
     with_depth = False
     with_mask = False
     with_normal = False
@@ -126,7 +134,9 @@ class GaussianRendererBase:
             scaling_modifier=scaling_modifier,
             with_depth=True,
             config=RasterizeConfig(
-                tile_size=cfg.tile_size, max_pairs=cfg.max_pairs, impl=cfg.impl
+                tile_size=cfg.tile_size,
+                max_pairs=self.max_pairs_override or cfg.max_pairs,
+                impl=cfg.impl,
             ),
         )
 
@@ -135,6 +145,7 @@ class GaussianRendererBase:
             "radii": out["radii"],
             "visibility_filter": out["visibility"],
             "n_dropped": out["n_dropped"],
+            "n_pairs": out["n_pairs"],
         }
         alpha = out["alpha"]
         depth = out["depth"]
@@ -272,6 +283,7 @@ class GaussianRendererBase:
                 [o["visibility_filter"] for o in per_view]
             ),
             "n_dropped": jnp.stack([o["n_dropped"] for o in per_view]),
+            "n_pairs": jnp.stack([o["n_pairs"] for o in per_view]),
         }
         for name, out_name in [
             ("depth", "comp_depth"),

@@ -78,7 +78,9 @@ class DiffGaussianRasterizerSpacetime(GaussianRendererBase):
             scaling_modifier=scaling_modifier,
             with_depth=True,
             config=RasterizeConfig(
-                tile_size=cfg.tile_size, max_pairs=cfg.max_pairs, impl=cfg.impl
+                tile_size=cfg.tile_size,
+                max_pairs=self.max_pairs_override or cfg.max_pairs,
+                impl=cfg.impl,
             ),
         )
         return {
@@ -86,6 +88,7 @@ class DiffGaussianRasterizerSpacetime(GaussianRendererBase):
             "radii": out["radii"],
             "visibility_filter": out["visibility"],
             "n_dropped": out["n_dropped"],
+            "n_pairs": out["n_pairs"],
             "mask": out["alpha"],
             "depth": out["depth"],
         }

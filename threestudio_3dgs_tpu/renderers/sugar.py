@@ -77,7 +77,9 @@ class SuGaRRendererBase(GaussianRendererBase):
             scaling_modifier=scaling_modifier,
             with_depth=True,
             config=RasterizeConfig(
-                tile_size=cfg.tile_size, max_pairs=cfg.max_pairs, impl=cfg.impl
+                tile_size=cfg.tile_size,
+                max_pairs=self.max_pairs_override or cfg.max_pairs,
+                impl=cfg.impl,
             ),
         )
         alpha = out["alpha"]
@@ -92,6 +94,7 @@ class SuGaRRendererBase(GaussianRendererBase):
             "radii": out["radii"],
             "visibility_filter": out["visibility"],
             "n_dropped": out["n_dropped"],
+            "n_pairs": out["n_pairs"],
             "mask": alpha,
             "depth": depth,
             "normal": jnp.clip(normal_map, 0.0, 1.0),

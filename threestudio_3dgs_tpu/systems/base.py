@@ -117,6 +117,8 @@ class BaseGaussianSystem:
         self.prompt_utils = self.prompt_processor() if self.prompt_processor else None
         self._train_jit: Dict[Any, Any] = {}
         self._eval_jit: Dict[Any, Any] = {}
+        self._capacity: Optional[int] = None  # adaptive pair capacity
+        self._pair_log: list = []
 
         opt = cfg.optimizer if isinstance(cfg.optimizer, dict) else {}
         self.extra_lr = float(
@@ -235,18 +237,75 @@ class BaseGaussianSystem:
 
         logs = dict(logs)
         logs["n_dropped_pairs"] = jnp.sum(out["n_dropped"])
+        # per-view pair DEMAND (incl. dropped), maxed over views: the signal
+        # for adaptive capacity sizing
+        logs["n_pairs_max"] = jnp.max(out["n_pairs"] + out["n_dropped"])
         return SystemState(gauss=gauss, extra_params=new_extra, extra_opt=new_opt), logs
+
+    # -- adaptive pair capacity ----------------------------------------------
+    _ADAPT_EVERY = 50  # steps between host syncs of the pair stats
+    _BUCKET = 256 * 1024  # capacity quantum (multiple of every kernel tile)
+
+    def _pair_capacity(self) -> Optional[int]:
+        rcfg = getattr(self.renderer, "cfg", None)
+        if rcfg is None or not getattr(rcfg, "adaptive_max_pairs", False):
+            return None
+        if self._capacity is None:
+            self._capacity = int(rcfg.max_pairs)
+        return self._capacity
+
+    def _adapt_pair_capacity(self, step: int) -> None:
+        """Bucketed right-sizing of the static pair capacity: every
+        pair-stage op (expand/sorts/gathers/blend) runs at this size, so
+        fitting it to the live scene is a direct throughput win.  Stats are
+        synced to the host once per _ADAPT_EVERY steps (per-step syncs cost
+        100-600 ms tunnel latency -- PERF.md); grow on any drop, shrink with
+        hysteresis (observed peak * 1.4 two buckets below capacity)."""
+        if not self._pair_log or step % self._ADAPT_EVERY != 0:
+            return
+        stats = jax.device_get(self._pair_log)  # ONE host sync
+        self._pair_log.clear()
+        demand = max(int(s[0]) for s in stats)  # peak per-view pair demand
+        dropped = max(int(s[1]) for s in stats)
+        rcfg = self.renderer.cfg
+        cap = self._capacity
+
+        def bucket(x):
+            b = -(-x // self._BUCKET) * self._BUCKET
+            return max(min(b, int(rcfg.max_pairs)), int(rcfg.min_pairs))
+
+        if dropped > 0:
+            new_cap = bucket(max(int(cap * 3 // 2), int(demand * 1.2)))
+        else:
+            want = bucket(int(demand * 1.4))
+            new_cap = want if want <= cap - 2 * self._BUCKET else cap
+        if new_cap != cap:
+            print(
+                f"[system] pair capacity {cap} -> {new_cap} "
+                f"(demand {demand}, dropped {dropped})",
+                flush=True,
+            )
+            self._capacity = new_cap
 
     def train_step(self, state, batch, step: int, key):
         dev_batch = to_device_batch(batch)
         sched = self.sched_scalars(step)
         bs = int(np.asarray(batch["c2w"]).shape[0])
         height, width = int(batch["height"]), int(batch["width"])
-        sig = (height, width, bs)
+        capacity = self._pair_capacity()
+        self.renderer.max_pairs_override = capacity
+        sig = (height, width, bs, capacity)
         if sig not in self._train_jit:
-            self._train_jit[sig] = jax.jit(partial(self._train_step_impl, *sig))
+            self._train_jit[sig] = jax.jit(
+                partial(self._train_step_impl, *sig[:3])
+            )
         k_step, k_struct = jax.random.split(key)
         state, logs = self._train_jit[sig](state, dev_batch, k_step, sched)
+        if capacity is not None:
+            self._pair_log.append(
+                (logs["n_pairs_max"], logs["n_dropped_pairs"])
+            )
+            self._adapt_pair_capacity(step)
         new_gauss, changed = self.geometry.update_states(state.gauss, step, k_struct)
         if changed:
             state = state.replace(gauss=new_gauss)
