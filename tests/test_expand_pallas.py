@@ -83,6 +83,42 @@ def test_expand_bin_parity(seed):
     np.testing.assert_array_equal(np.asarray(tile_k[:v]), np.asarray(tile_r[:v]))
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_expand_bin_feature_emission(seed):
+    """With chan_fields_d the kernel returns per-pair feature columns equal
+    (to ~1 ulp: 3-term bf16 one-hot split) to gathering the depth-ordered
+    field rows at each pair's slot."""
+    offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs, total = random_case(
+        seed, n=300
+    )
+    n = offsets.shape[0]
+    rng = np.random.default_rng(seed + 100)
+    cull = jnp.asarray(
+        np.column_stack(
+            [
+                rng.normal(size=n) * 50 + 100,  # mx
+                rng.normal(size=n) * 50 + 100,  # my
+                rng.uniform(0.5, 2.0, n),  # ca
+                rng.uniform(-0.1, 0.1, n),  # cb
+                rng.uniform(0.5, 2.0, n),  # cc
+                np.full(n, 0.99),  # opa: keep culling inert for this test
+            ]
+        ).astype(np.float32)
+    )
+    chans = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    outs = expand_bin_pallas(
+        offsets, depth_order, tiles_min[depth_order, 0], tiles_min[depth_order, 1],
+        rect_w[depth_order], grid_x, max_pairs,
+        tile_size=16, num_tiles=grid_x * 16,
+        cull_fields_d=cull, chan_fields_d=chans,
+        interpret=INTERPRET,
+    )
+    slot_k = np.asarray(outs[0][:total])
+    feats = np.stack([np.asarray(c[:total]) for c in outs[3:]], axis=1)
+    expected = np.concatenate([np.asarray(cull), np.asarray(chans)], axis=1)[slot_k]
+    np.testing.assert_allclose(feats, expected, rtol=2e-7, atol=1e-6)
+
+
 def test_expand_slots_parity():
     offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs, total = random_case(
         7, n=500

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..camera import Camera
 from . import blend_jax
-from .binning import bin_gaussians, pair_gather
+from .binning import bin_gaussians_with_feats, pair_gather, pair_select
 from .preprocess import project_gaussians, sh_colors
 
 
@@ -149,13 +149,15 @@ def rasterize(
     channels = jnp.concatenate(chans, axis=1)  # (N, C)
     n_channels = channels.shape[1]
 
-    binning = bin_gaussians(
+    binning, pair_feats_fused = bin_gaussians_with_feats(
         jax.tree_util.tree_map(jax.lax.stop_gradient, proj), grid_x, grid_y,
-        config.max_pairs, tile_size=ts, opacities=opacities,
+        config.max_pairs, ts, opacities, channels,
     )
 
-    # per-pair feature gather with a scatter-free hand-written transpose
-    # (gather + cumsum-diff; see binning.pair_gather)
+    # per-pair features: on the TPU/Pallas path the fused expand kernel emits
+    # them and the tile sort carries them as payloads (pair_feats_fused); the
+    # fallback is a (P, F) row gather.  Either way the backward is the same
+    # scatter-free transpose (sort-permute + segmented sum).
     feats = jnp.concatenate(
         [
             proj.means2d,
@@ -165,7 +167,10 @@ def rasterize(
         ],
         axis=1,
     )  # (N, 6 + C)
-    pair_feats = pair_gather(feats, binning)
+    if pair_feats_fused is not None:
+        pair_feats = pair_select(feats, pair_feats_fused, binning)
+    else:
+        pair_feats = pair_gather(feats, binning)
     # invalid pairs (beyond n_pairs) have tile id == num_tiles; their rows fall
     # outside every tile range, so garbage values there are never read.
 

@@ -56,6 +56,41 @@ def bin_gaussians(
     tile_size: int = 0,
     opacities: jnp.ndarray | None = None,
 ) -> Binning:
+    return _bin_impl(proj, grid_x, grid_y, max_pairs, tile_size, opacities, None)[0]
+
+
+def bin_gaussians_with_feats(
+    proj: Projected,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+    tile_size: int,
+    opacities: jnp.ndarray,
+    channels: jnp.ndarray,  # (N, C) blend channels (colors[, depth][, extras])
+) -> tuple[Binning, jnp.ndarray | None]:
+    """Like bin_gaussians, but on the TPU/Pallas path ALSO returns the
+    (P, 6 + C) tile-ordered per-pair feature table
+    (mean2d | conic | opacity | channels): the channels ride the depth sort
+    as payloads, the fused expand kernel selects all features in-window (the
+    one-hot matmul it already runs for culling), and the tile sort carries
+    them as payloads -- replacing the per-row-bound (P, F) random gather
+    (~14 ms at 2M pairs, PERF.md).  Returns (binning, None) off-TPU; the
+    caller falls back to pair_gather.  Values are within ~1 ulp of the exact
+    gather (3-term bf16 one-hot split); gradients route through pair_select."""
+    return _bin_impl(
+        proj, grid_x, grid_y, max_pairs, tile_size, opacities, channels
+    )
+
+
+def _bin_impl(
+    proj: Projected,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+    tile_size: int = 0,
+    opacities: jnp.ndarray | None = None,
+    channels: jnp.ndarray | None = None,
+) -> tuple[Binning, jnp.ndarray | None]:
     """With `opacities` (activated) and `tile_size`, pairs whose Gaussian
     cannot reach alpha >= ALPHA_MIN anywhere inside the covered tile are
     culled (sorted to the sentinel tail) -- the blend would zero them anyway
@@ -63,6 +98,11 @@ def bin_gaussians(
     n = proj.depths.shape[0]
     num_tiles = grid_x * grid_y
     cull = opacities is not None and tile_size > 0
+    from .expand_pallas import TILE as _EXPAND_TILE
+
+    use_pallas = jax.default_backend() == "tpu" and max_pairs % _EXPAND_TILE == 0
+    emit_feats = channels is not None and cull and use_pallas
+    n_chan = channels.shape[1] if emit_feats else 0
 
     pair_bits = max(int(max_pairs - 1).bit_length(), 1)
     tile_bits = int(num_tiles).bit_length()
@@ -91,6 +131,9 @@ def bin_gaussians(
             proj.conics[:, 2],
             jax.lax.stop_gradient(opacities),
         ]
+    if emit_feats:
+        chan_sg = jax.lax.stop_gradient(channels)
+        cols += [chan_sg[:, j] for j in range(n_chan)]
     sorted_cols = jax.lax.sort(
         (sort_depth, iota_n) + tuple(c.astype(jnp.float32) for c in cols),
         num_keys=1,
@@ -107,15 +150,14 @@ def bin_gaussians(
     n_dropped = total - n_pairs
 
     # ---- expand: pair p -> (depth-rank slot, gaussian, covered tile) -----
-    from .expand_pallas import TILE as _EXPAND_TILE
-
-    if jax.default_backend() == "tpu" and max_pairs % _EXPAND_TILE == 0:
+    pair_feat_cols: tuple = ()
+    if use_pallas:
         # one-pass Pallas merge scan with fused in-window field select (the
         # XLA path below costs ~160 ms at 2M pairs: five random 2M-row
         # gathers + divmod; the kernel does it in ~8 ms)
         from .expand_pallas import expand_bin_pallas
 
-        slot, g, tile_id = expand_bin_pallas(
+        outs = expand_bin_pallas(
             offsets,
             depth_order,
             fields_d[:, 0],
@@ -126,7 +168,10 @@ def bin_gaussians(
             tile_size=tile_size,
             num_tiles=num_tiles,
             cull_fields_d=fields_d[:, 4:10] if cull else None,
+            chan_fields_d=fields_d[:, 10 : 10 + n_chan] if emit_feats else None,
         )
+        slot, g, tile_id = outs[:3]
+        pair_feat_cols = outs[3:]  # (6 + C) columns, gm order
     else:
         # scatter-max + cummax: mark[offsets[i]] = i (ties: max i wins = the
         # rule "last gaussian whose offset <= p", identical to
@@ -173,24 +218,32 @@ def bin_gaussians(
 
     # ---- group by tile (depth order within each tile is free: p is
     # depth-ordered and rides as a tiebreak key / packed low bits); the
-    # gaussian index rides along as payload (cheaper than a post-sort gather)
+    # gaussian index -- and, on the feature path, the per-pair blend feature
+    # columns -- ride along as payloads (cheaper than a post-sort gather)
+    pair_feats = None
     if packed:
         key = safe_tile << pair_bits | p
-        sorted_key, pair_gauss = jax.lax.sort((key, g), num_keys=1)
+        sorted_ops = jax.lax.sort((key, g) + pair_feat_cols, num_keys=1)
+        sorted_key, pair_gauss = sorted_ops[0], sorted_ops[1]
         pair_gm = sorted_key & ((1 << pair_bits) - 1)
         boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << pair_bits
         tile_ranges = jnp.searchsorted(
             sorted_key, boundaries, side="left"
         ).astype(jnp.int32)
+        if emit_feats:
+            pair_feats = jnp.stack(sorted_ops[2:], axis=1)
     else:
-        sorted_tile, pair_gm, pair_gauss = jax.lax.sort(
-            (safe_tile, p, g), num_keys=2
+        sorted_ops = jax.lax.sort(
+            (safe_tile, p, g) + pair_feat_cols, num_keys=2
         )
+        sorted_tile, pair_gm, pair_gauss = sorted_ops[:3]
         boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
         tile_ranges = jnp.searchsorted(
             sorted_tile, boundaries, side="left"
         ).astype(jnp.int32)
-    return Binning(
+        if emit_feats:
+            pair_feats = jnp.stack(sorted_ops[3:], axis=1)
+    binning = Binning(
         pair_gauss=pair_gauss,
         pair_gm=pair_gm,
         slot=slot,
@@ -202,6 +255,7 @@ def bin_gaussians(
         n_pairs=n_pairs,
         n_dropped=n_dropped,
     )
+    return binning, pair_feats
 
 
 # ---------------------------------------------------------------------------
@@ -276,3 +330,35 @@ def _pair_gather_bwd(binning, d_pairs):
 
 
 pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
+
+
+@jax.custom_vjp
+def pair_select(
+    feats: jnp.ndarray, pair_feats: jnp.ndarray, binning: Binning
+) -> jnp.ndarray:
+    """Differentiable boundary for the fused pair-feature path: forward
+    returns `pair_feats` (the tile-ordered feature table already produced by
+    bin_gaussians_with_feats, numerically == feats[binning.pair_gauss] up to
+    ~1 ulp from the bf16-split one-hot select); backward routes the per-pair
+    gradients to `feats` with the same scatter-free transpose as
+    pair_gather (sort-permute to gaussian-major + Pallas segmented sum)."""
+    return pair_feats
+
+
+def _pair_select_fwd(feats, pair_feats, binning):
+    return pair_feats, binning
+
+
+def _pair_select_bwd(binning, d_pairs):
+    import numpy as np
+
+    d_feats = _gather_bwd_impl(binning, d_pairs)
+    zero_binning = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, jax.dtypes.float0), binning
+    )
+    # pair_feats came from stop_gradient'd binning inputs: its cotangent is
+    # dead by construction (XLA drops the zeros)
+    return (d_feats, jnp.zeros_like(d_pairs), zero_binning)
+
+
+pair_select.defvjp(_pair_select_fwd, _pair_select_bwd)

@@ -82,7 +82,7 @@ def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
 
 def _bin_kernel(
     i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *,
-    grid_x, tile_size, num_tiles, cull, nt,
+    grid_x, tile_size, num_tiles, cull, nt, n_feats=0,
 ):
     """Fused expand + per-pair tile id (+ exact tile-ellipse culling).
 
@@ -199,6 +199,13 @@ def _bin_kernel(
     oscr[s, 0:RPF, :] = slot_col.reshape(RPF, 128)
     oscr[s, RPF : 2 * RPF, :] = g_row.astype(jnp.int32).reshape(RPF, 128)
     oscr[s, 2 * RPF : 3 * RPF, :] = tile_row.astype(jnp.int32).reshape(RPF, 128)
+    # per-pair blend features (mean2d, conic, opacity, channels), already
+    # selected by the same one-hot matmul: emitting them here replaces the
+    # (P, F) random row gather in the caller (per-row bound, ~14 ms at 2M
+    # pairs -- PERF.md); f32 rows ride the int32 output buffer via bitcast
+    for j in range(n_feats):
+        fr_i = jax.lax.bitcast_convert_type(sel[5 + j : 6 + j, :], jnp.int32)
+        oscr[s, (3 + j) * RPF : (4 + j) * RPF, :] = fr_i.reshape(RPF, 128)
     wr(t, s).start()
 
     # drain both in-flight writes on the last program
@@ -222,18 +229,24 @@ def expand_bin_pallas(
     tile_size: int = 0,
     num_tiles: int = 0,
     cull_fields_d: jnp.ndarray | None = None,  # (N, 6) mx|my|ca|cb|cc|opa
+    chan_fields_d: jnp.ndarray | None = None,  # (N, C) blend channels
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, ...]:
     """Fused expansion: returns (slot, gauss_idx, tile_id), each (max_pairs,)
     int32, meaningful for p < total pairs (the tail is masked downstream).
     Rect fields come pre-permuted to depth order (one packed row gather in
     the caller -- per-row-bound TPU gathers make separate ones 4x dearer).
     With `cull_fields_d`, unreachable (gaussian, tile) pairs get tile id
-    `num_tiles` (see _tile_reachable)."""
+    `num_tiles` (see _tile_reachable).  With `chan_fields_d` (requires cull),
+    additionally returns 6 + C per-pair f32 feature columns
+    (mx|my|ca|cb|cc|opa|chan_0..chan_{C-1}) selected by the same one-hot
+    matmul -- each within ~1 ulp of the exact row (3-term bf16 split)."""
     n = offsets.shape[0]
     assert n < 2**24 and max_pairs < 2**24  # f32-exact one-hot select
     assert max_pairs % TILE == 0, max_pairs
     cull = cull_fields_d is not None
+    assert chan_fields_d is None or cull, "feature emission requires cull fields"
+    n_feats = 0 if chan_fields_d is None else 6 + chan_fields_d.shape[1]
     nt = max_pairs // TILE
     n_pad = ((n + 127) // 128 + (WIN // 128) + 1) * 128
 
@@ -250,6 +263,8 @@ def expand_bin_pallas(
     ]
     if cull:
         rows += [pad_f(cull_fields_d[:, j]) for j in range(6)]
+    if chan_fields_d is not None:
+        rows += [pad_f(chan_fields_d[:, j]) for j in range(chan_fields_d.shape[1])]
     f_rows = (len(rows) + 7) // 8 * 8
     rows += [jnp.zeros(n_pad, jnp.float32)] * (f_rows - len(rows))
     vals = jnp.stack(rows)  # (F, n_pad)
@@ -260,6 +275,7 @@ def expand_bin_pallas(
     )
     i0s = jnp.clip(i0s, 0, n - 1)
 
+    orows = ((3 + n_feats) * RPF + 7) // 8 * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -267,7 +283,7 @@ def expand_bin_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, f_rows, WIN), jnp.float32),
-            pltpu.VMEM((2, ORows, 128), jnp.int32),
+            pltpu.VMEM((2, orows, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -280,16 +296,23 @@ def expand_bin_pallas(
             num_tiles=num_tiles,
             cull=cull,
             nt=nt,
+            n_feats=n_feats,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, ORows, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nt, orows, 128), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(i0s, vals)
     slot = out[:, 0:RPF, :].reshape(-1)
     gauss = out[:, RPF : 2 * RPF, :].reshape(-1)
     tile_id = out[:, 2 * RPF : 3 * RPF, :].reshape(-1)
-    return slot, gauss, tile_id
+    feat_cols = tuple(
+        jax.lax.bitcast_convert_type(
+            out[:, (3 + j) * RPF : (4 + j) * RPF, :], jnp.float32
+        ).reshape(-1)
+        for j in range(n_feats)
+    )
+    return (slot, gauss, tile_id) + feat_cols
 
 
 def expand_slots_pallas(
