@@ -52,7 +52,9 @@ def main():
     # pair capacity right-sized to the scene (1.675M pairs measured, ~10%
     # headroom; n_dropped stays 0) -- the CUDA reference allocates its pair
     # buffers exactly per frame, a static capacity is the TPU equivalent
-    cfg = RasterizeConfig(tile_size=32, max_pairs=1792 * 1024)
+    # measured demand 1.491M pairs after exact pre-expansion culling
+    # (+10% headroom, 256k-bucketed -- mirrors the adaptive sizing)
+    cfg = RasterizeConfig(tile_size=32, max_pairs=1664 * 1024)
 
     means_j = jnp.asarray(means)
     scales_j = jnp.asarray(scales)

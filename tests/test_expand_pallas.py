@@ -119,6 +119,55 @@ def test_expand_bin_feature_emission(seed):
     np.testing.assert_allclose(feats, expected, rtol=2e-7, atol=1e-6)
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_expand_bin_mask_selection(seed):
+    """With mask_d, pair r of a masked gaussian maps to its r-th SET BIT
+    (row-major rect tile); MASK_NONE rows keep the divmod+cull path."""
+    from threestudio_3dgs_tpu.ops.rasterizer.expand_pallas import MASK_NONE
+
+    offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs, total = random_case(
+        seed, n=300
+    )
+    n = offsets.shape[0]
+    rng = np.random.default_rng(seed + 7)
+    # counts per depth-rank slot (from offsets); build masks in depth order
+    counts = np.diff(np.concatenate([np.asarray(offsets), [total]])).astype(int)
+    # offsets must stay consistent with popcount, so use identity masks
+    # (all `counts[i]` rect bits set); sparse masks are covered by the
+    # binning-level rasterizer tests.
+    mask = np.zeros(n, np.int64)
+    for i in range(n):
+        c = counts[i]
+        if c > 0 and c <= 24:
+            mask[i] = (1 << c) - 1  # first c rect tiles reachable
+        else:
+            mask[i] = MASK_NONE
+    cull = jnp.asarray(
+        np.column_stack(
+            [np.full(n, 100.0), np.full(n, 100.0), np.full(n, 1.0),
+             np.zeros(n), np.full(n, 1.0), np.full(n, 0.99)]
+        ).astype(np.float32)
+    )
+    outs = expand_bin_pallas(
+        offsets, depth_order, tiles_min[depth_order, 0], tiles_min[depth_order, 1],
+        rect_w[depth_order], grid_x, max_pairs,
+        tile_size=16, num_tiles=grid_x * 16,
+        cull_fields_d=cull, mask_d=jnp.asarray(mask.astype(np.int32)),
+        interpret=INTERPRET,
+    )
+    slot_k, g_k, tile_k = outs[:3]
+    # identity masks (bit r = rect tile r): tile assignment must equal the
+    # plain divmod reference wherever the reference stays in-rect
+    slot_r, g_r, tile_r = reference_expand_bin(
+        offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs
+    )
+    np.testing.assert_array_equal(np.asarray(slot_k[:total]), np.asarray(slot_r[:total]))
+    masked = np.asarray(mask)[np.asarray(slot_k[:total])] != MASK_NONE
+    np.testing.assert_array_equal(
+        np.asarray(tile_k[:total])[masked], np.asarray(tile_r[:total])[masked]
+    )
+
+
 def test_expand_slots_parity():
     offsets, depth_order, tiles_min, rect_w, grid_x, max_pairs, total = random_case(
         7, n=500

@@ -94,3 +94,84 @@ class TestDataParallel:
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out)
         assert out[0].shape == (64, 64, 3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestTileParallel:
+    """Intra-view tile-row sharding: sharded render == single-device render
+    (same pairs per tile, same depth order), grads psum to the single-device
+    gradients."""
+
+    def _scene(self, n=3000, seed=0):
+        from threestudio_3dgs_tpu.ops import camera as cam_mod
+
+        rng = np.random.default_rng(seed)
+        means = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+        scales = np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.3 - 3.6)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        opac = rng.uniform(0.2, 0.9, size=(n,)).astype(np.float32)
+        cols = rng.uniform(size=(n, 3)).astype(np.float32)
+        eye = np.array([0.0, -2.5, 0.5])
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
+        cam = cam_mod.camera_from_c2w(jnp.asarray(c2w), 0.9, 0.9, 128, 128)
+        return tuple(map(jnp.asarray, (means, scales, quats, opac, cols))), cam
+
+    def test_tile_parallel_matches_single(self):
+        from threestudio_3dgs_tpu.ops.rasterizer import RasterizeConfig, rasterize
+        from threestudio_3dgs_tpu.parallel.tile_parallel import (
+            make_tile_parallel_rasterize,
+        )
+
+        args, cam = self._scene()
+        cfg = RasterizeConfig(tile_size=16, max_pairs=32768, impl="jax")
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        ref = rasterize(*args[:4], cam, bg, colors=args[4],
+                        with_depth=True, config=cfg)
+        mesh = make_mesh(8, axis_names=("tile",))
+        f = jax.jit(make_tile_parallel_rasterize(mesh, "tile", cam, bg, config=cfg))
+        out = f(*args)
+        # band-space pixel math reassociates a few f32 ops vs the
+        # single-device render (measured max |diff| 2.3e-6, no cull flips)
+        np.testing.assert_allclose(np.asarray(out["image"]),
+                                   np.asarray(ref["image"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["alpha"]),
+                                   np.asarray(ref["alpha"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["depth"]),
+                                   np.asarray(ref["depth"]), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out["radii"]),
+                                      np.asarray(ref["radii"]))
+        np.testing.assert_array_equal(np.asarray(out["visibility"]),
+                                      np.asarray(ref["visibility"]))
+
+    def test_tile_parallel_grads_psum(self):
+        from threestudio_3dgs_tpu.ops.rasterizer import RasterizeConfig, rasterize
+        from threestudio_3dgs_tpu.parallel.tile_parallel import (
+            make_tile_parallel_rasterize,
+        )
+
+        args, cam = self._scene(n=1500, seed=3)
+        cfg = RasterizeConfig(tile_size=16, max_pairs=16384, impl="jax")
+        bg = jnp.zeros(3)
+        mesh = make_mesh(8, axis_names=("tile",))
+        f = make_tile_parallel_rasterize(mesh, "tile", cam, bg, config=cfg)
+
+        def loss_sharded(*a):
+            out = f(*a)
+            return jnp.sum(out["image"] ** 2) + 0.2 * jnp.sum(out["alpha"])
+
+        def loss_single(*a):
+            out = rasterize(*a[:4], cam, bg, colors=a[4],
+                            with_depth=True, config=cfg)
+            return jnp.sum(out["image"] ** 2) + 0.2 * jnp.sum(out["alpha"])
+
+        g_sh = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2, 3, 4)))(*args)
+        g_si = jax.jit(jax.grad(loss_single, argnums=(0, 1, 2, 3, 4)))(*args)
+        for name, a, b in zip(["means", "scales", "quats", "opac", "cols"],
+                              g_sh, g_si):
+            num = float(jnp.linalg.norm(a - b))
+            den = float(jnp.linalg.norm(b)) + 1e-12
+            assert num / den < 1e-3, (name, num / den)

@@ -113,6 +113,7 @@ def rasterize(
     scaling_modifier: float = 1.0,
     with_depth: bool = True,
     config: RasterizeConfig = RasterizeConfig(),
+    tile_band: Optional[tuple] = None,  # (row0_tiles traced, n_tile_rows static)
 ) -> Dict[str, Any]:
     """Render one view.  Returns a dict with:
       image (H, W, 3)  rgb composited over bg_color
@@ -120,7 +121,15 @@ def rasterize(
       depth (H, W)     alpha-weighted view depth (no bg), if with_depth
       extra (H, W, E)  blended extra features, if given
       radii (N,), visibility (N,), n_pairs, n_dropped
-    """
+
+    With `tile_band = (row0, rows)` only the horizontal band of tile rows
+    [row0, row0 + rows) is rendered (H becomes rows * tile_size): projection
+    runs against the FULL camera (identical means2d/conic/radii and
+    gradients), then tile rects are clipped + re-based and pixel y
+    coordinates shift into band space.  This is the per-device body of the
+    tile-sharded multi-chip renderer (parallel/tile_parallel.py): each chip
+    renders one band, per-Gaussian grads psum over the mesh axis.  `row0`
+    may be traced (lax.axis_index); `rows` must be static."""
     height, width = camera.height, camera.width
     ts = config.tile_size
     grid_x = (width + ts - 1) // ts
@@ -136,6 +145,23 @@ def rasterize(
         alive=alive,
         means2d_offset=means2d_offset,
     )
+
+    if tile_band is not None:
+        row0, n_tile_rows = tile_band
+        r0 = jnp.asarray(row0, jnp.int32)
+        grid_y = int(n_tile_rows)
+        height = grid_y * ts
+        tmin_y = jnp.clip(proj.tiles_min[:, 1], r0, r0 + grid_y) - r0
+        tmax_y = jnp.clip(proj.tiles_max[:, 1], r0, r0 + grid_y) - r0
+        band_shift = jnp.stack(
+            [jnp.zeros((), jnp.float32), (r0 * ts).astype(jnp.float32)]
+        )
+        proj = proj._replace(
+            means2d=proj.means2d - band_shift,
+            tiles_min=jnp.stack([proj.tiles_min[:, 0], tmin_y], axis=1),
+            tiles_max=jnp.stack([proj.tiles_max[:, 0], tmax_y], axis=1),
+            visible=proj.visible & (tmax_y > tmin_y),
+        )
 
     if colors is None:
         if sh_coeffs is None:

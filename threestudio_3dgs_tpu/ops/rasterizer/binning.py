@@ -42,6 +42,7 @@ class Binning(NamedTuple):
     tile_ranges: jnp.ndarray  # (T + 1,) int32; tile t owns [r[t], r[t+1])
     offsets: jnp.ndarray  # (N,) int32 exclusive pair offsets, depth order
     counts: jnp.ndarray  # (N,) int32 pairs per Gaussian, depth order
+    counts_orig: jnp.ndarray  # (N,) int32 pairs per Gaussian, ORIGINAL order
     depth_order: jnp.ndarray  # (N,) int32 Gaussian indices sorted by depth
     inv_depth_order: jnp.ndarray  # (N,) int32 rank of each Gaussian
     n_pairs: jnp.ndarray  # () int32 valid pairs (<= max_pairs)
@@ -114,12 +115,61 @@ def _bin_impl(
     # ONE payload-carrying sort replaces argsort + (N, 4-10)-row gather:
     # TPU sort payloads cost ~1 ms/column while a random row gather is
     # per-row bound (~7 ms/M rows) -- see PERF.md cost table
-    sort_depth = jnp.where(proj.visible, proj.depths, jnp.inf)
     iota_n = jnp.arange(n, dtype=jnp.int32)
 
     rect_w = (proj.tiles_max[:, 0] - proj.tiles_min[:, 0]).astype(jnp.int32)
     rect_h = (proj.tiles_max[:, 1] - proj.tiles_min[:, 1]).astype(jnp.int32)
     counts_all = jnp.where(proj.visible, rect_w * rect_h, 0).astype(jnp.int32)
+
+    # ---- exact pre-expansion culling (cull path) --------------------------
+    # The exact tile-ellipse test used to run per PAIR inside the expand
+    # kernel, remapping unreachable pairs to the sentinel tile -- but those
+    # pairs (25-40% of the rect total) still occupied capacity and rode every
+    # pair-stage sort.  Here the same test runs per (gaussian, rect tile)
+    # BEFORE counting, for gaussians whose rect has <= MASK_K tiles: counts
+    # become exact and the reachable set is encoded as a bitmask (< 2^24, so
+    # it rides f32 sort payloads exactly).  The expand step then SELECTS the
+    # r-th set bit instead of re-testing, so pallas and fallback agree by
+    # construction.  Bigger rects (rare) keep area counts + in-expand cull.
+    mask_col = None
+    if cull:
+        from .expand_pallas import MASK_K, MASK_NONE
+
+        sg_op = jax.lax.stop_gradient(opacities)
+        jj = jnp.arange(MASK_K, dtype=jnp.float32)[None, :]  # (1, K)
+        w_f = jnp.maximum(rect_w, 1).astype(jnp.float32)[:, None]
+        qj = jnp.floor(jj / w_f)
+        remj = jj - qj * w_f
+        qj = jnp.where(remj < 0, qj - 1.0, jnp.where(remj >= w_f, qj + 1.0, qj))
+        remj = jj - qj * w_f
+        tx = proj.tiles_min[:, 0:1].astype(jnp.float32) + remj
+        ty = proj.tiles_min[:, 1:2].astype(jnp.float32) + qj
+        from .expand_pallas import _tile_reachable
+
+        reach = _tile_reachable(
+            tx * tile_size,
+            ty * tile_size,
+            float(tile_size),
+            proj.means2d[:, 0:1],
+            proj.means2d[:, 1:2],
+            proj.conics[:, 0:1],
+            proj.conics[:, 1:2],
+            proj.conics[:, 2:3],
+            sg_op[:, None],
+        )
+        reach = reach & (jj < counts_all.astype(jnp.float32)[:, None])
+        cnt_exact = jnp.sum(reach, axis=1).astype(jnp.int32)
+        mask = jnp.sum(
+            jnp.where(reach, jnp.int32(1) << jnp.arange(MASK_K, dtype=jnp.int32), 0),
+            axis=1,
+        ).astype(jnp.int32)
+        small = proj.visible & (counts_all <= MASK_K)
+        counts_all = jnp.where(small, cnt_exact, counts_all)
+        mask_col = jnp.where(small, mask, jnp.int32(MASK_NONE))
+
+    # fully-culled gaussians (count 0) must sort to the inf tail: the expand
+    # window bound assumes every in-prefix segment owns >= 1 pair
+    sort_depth = jnp.where(counts_all > 0, proj.depths, jnp.inf)
 
     cols = [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all]
     if cull:
@@ -134,6 +184,9 @@ def _bin_impl(
     if emit_feats:
         chan_sg = jax.lax.stop_gradient(channels)
         cols += [chan_sg[:, j] for j in range(n_chan)]
+    if mask_col is not None:
+        cols += [mask_col]
+    mask_idx = 10 + n_chan if mask_col is not None else None
     sorted_cols = jax.lax.sort(
         (sort_depth, iota_n) + tuple(c.astype(jnp.float32) for c in cols),
         num_keys=1,
@@ -169,6 +222,7 @@ def _bin_impl(
             num_tiles=num_tiles,
             cull_fields_d=fields_d[:, 4:10] if cull else None,
             chan_fields_d=fields_d[:, 10 : 10 + n_chan] if emit_feats else None,
+            mask_d=fields_d[:, mask_idx] if mask_idx is not None else None,
         )
         slot, g, tile_id = outs[:3]
         pair_feat_cols = outs[3:]  # (6 + C) columns, gm order
@@ -198,7 +252,12 @@ def _bin_impl(
         ty = proj.tiles_min[g, 1] + q
         tile_id = ty * grid_x + tx
         if cull:
-            from .expand_pallas import _tile_reachable
+            from .expand_pallas import (
+                MASK_K,
+                MASK_NONE,
+                _tile_reachable,
+                select_nth_set_bit,
+            )
 
             keep = _tile_reachable(
                 (tx * tile_size).astype(jnp.float32),
@@ -212,6 +271,22 @@ def _bin_impl(
                 jax.lax.stop_gradient(opacities)[g],
             )
             tile_id = jnp.where(keep, tile_id, num_tiles)
+            # masked (small-rect) gaussians: pair r maps to the r-th
+            # REACHABLE rect tile (bit of the precomputed mask), exactly as
+            # the pallas kernel does
+            m = mask_col[g]
+            jsel, found = select_nth_set_bit(m, r)
+            jf = jsel.astype(jnp.float32)
+            wf = w.astype(jnp.float32)
+            qm = jnp.floor(jf / wf)
+            rm = jf - qm * wf
+            qm = jnp.where(rm < 0, qm - 1.0, jnp.where(rm >= wf, qm + 1.0, qm))
+            rm = jf - qm * wf
+            tile_m = (
+                proj.tiles_min[g, 1].astype(jnp.float32) + qm
+            ) * grid_x + proj.tiles_min[g, 0].astype(jnp.float32) + rm
+            tile_m = jnp.where(found, tile_m, float(num_tiles)).astype(jnp.int32)
+            tile_id = jnp.where(m != MASK_NONE, tile_m, tile_id)
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = p < n_pairs
     safe_tile = jnp.where(valid, tile_id, num_tiles)
@@ -252,6 +327,7 @@ def _bin_impl(
         counts=counts,
         depth_order=depth_order,
         inv_depth_order=inv_depth_order,
+        counts_orig=counts_all,
         n_pairs=n_pairs,
         n_dropped=n_dropped,
     )
@@ -269,16 +345,51 @@ def _gather_fwd_impl(feats, binning):
 
 def _gather_bwd_impl(binning, d_pairs):
     """Transpose of the pair gather without any scatter-add: permute grads to
-    gaussian-major order, reduce each Gaussian's contiguous pair range, then
-    undo the depth sort (gather by rank).
+    gaussian-major order with a payload-carrying sort (a random 2M-row gather
+    costs ~49 ms on v5e, the sort ~17 ms), then reduce each Gaussian's
+    contiguous range.
 
-    The permute is a 1-key sort by pair_gm carrying the feature columns as
-    payloads: a random 2M-row gather costs ~49 ms on v5e, the sort ~17 ms.
-    On TPU the contiguous-range reduction then runs as a one-pass Pallas
-    monotone segmented sum (~7x faster than the cumsum+gather-diff
-    fallback used elsewhere)."""
+    On TPU the sort key is the ORIGINAL gaussian index (sentinel for the
+    never-materialized capacity tail), so the Pallas monotone segmented sum
+    lands directly in original order -- the old scheme keyed by pair_gm and
+    paid a (N, F) row gather to undo the depth sort afterwards (~10 ms at
+    1M).  Per-segment offsets come from counts in original order (free:
+    computed before the depth sort); when capacity dropped pairs (rare --
+    adaptive sizing grows first) a lax.cond pays one extra permute to get
+    the kept-counts instead."""
     p_total = d_pairs.shape[0]
     n = binning.offsets.shape[0]
+    if jax.default_backend() == "tpu":
+        from .segsum_pallas import segsum_monotone_pallas
+
+        # culled + capacity-tail rows must be zero (pallas blend already
+        # zero-fills beyond tile_ranges[-1]; keep the mask for forced-jax
+        # blends on TPU)
+        valid_tile = (
+            jnp.arange(p_total, dtype=jnp.int32) < binning.tile_ranges[-1]
+        )[:, None]
+        d_safe = jnp.where(valid_tile, d_pairs, 0.0)
+        g_key = jnp.where(
+            binning.pair_gm < binning.n_pairs, binning.pair_gauss, jnp.int32(n)
+        )
+        sorted_cols = jax.lax.sort(
+            (g_key,) + tuple(d_safe[:, j] for j in range(d_pairs.shape[1])),
+            num_keys=1,
+        )
+        d_g = jnp.stack(sorted_cols[1:], axis=1)
+        counts_o = jax.lax.cond(
+            binning.n_dropped > 0,
+            lambda: jnp.clip(p_total - binning.offsets, 0, binning.counts)[
+                binning.inv_depth_order
+            ],
+            lambda: binning.counts_orig,
+        )
+        offs_o = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_o)[:-1]]
+        )
+        return segsum_monotone_pallas(
+            d_g, sorted_cols[0], binning.n_pairs, n, seg_offsets=offs_o
+        )
     sorted_cols = jax.lax.sort(
         (binning.pair_gm,) + tuple(d_pairs[:, j] for j in range(d_pairs.shape[1])),
         num_keys=1,
@@ -287,22 +398,15 @@ def _gather_bwd_impl(binning, d_pairs):
     # zero out the invalid tail (pairs >= n_pairs carry garbage rows)
     valid = (jnp.arange(p_total, dtype=jnp.int32) < binning.n_pairs)[:, None]
     d_gm = jnp.where(valid, d_gm, 0.0)
-    if jax.default_backend() == "tpu":
-        from .segsum_pallas import segsum_monotone_pallas
-
-        d_sorted = segsum_monotone_pallas(
-            d_gm, binning.slot, binning.n_pairs, n, seg_offsets=binning.offsets
-        )
-    else:
-        prefix = jnp.concatenate(
-            [
-                jnp.zeros((1, d_pairs.shape[1]), d_pairs.dtype),
-                jnp.cumsum(d_gm, axis=0),
-            ]
-        )
-        lo = jnp.clip(binning.offsets, 0, binning.n_pairs)
-        hi = jnp.clip(binning.offsets + binning.counts, 0, binning.n_pairs)
-        d_sorted = prefix[hi] - prefix[lo]  # (N, F), depth order
+    prefix = jnp.concatenate(
+        [
+            jnp.zeros((1, d_pairs.shape[1]), d_pairs.dtype),
+            jnp.cumsum(d_gm, axis=0),
+        ]
+    )
+    lo = jnp.clip(binning.offsets, 0, binning.n_pairs)
+    hi = jnp.clip(binning.offsets + binning.counts, 0, binning.n_pairs)
+    d_sorted = prefix[hi] - prefix[lo]  # (N, F), depth order
     return d_sorted[binning.inv_depth_order]
 
 

@@ -31,6 +31,28 @@ WIN = TILE + 256  # offsets window (TILE new segments + alignment slack)
 RPF = TILE // 128  # output sublane rows per field (lane dim stays 128)
 ORows = (3 * RPF + 7) // 8 * 8  # slot|gauss|tile rows, padded to f32 tile
 
+# exact pre-expansion culling: gaussians whose tile rect has <= MASK_K tiles
+# carry a reachable-tile bitmask (computed once in binning); masks stay
+# < 2^24 so they survive f32 sort payloads AND the 3-term bf16 one-hot
+# select exactly.  MASK_NONE flags "no mask: use area counts + in-expand
+# float cull" (big rects).
+MASK_K = 24
+MASK_NONE = 1 << 24
+
+
+def select_nth_set_bit(m: jnp.ndarray, r: jnp.ndarray):
+    """Position of the (r+1)-th set bit of each int32 mask.  Pure jnp vector
+    ops -- the pallas kernel and the XLA fallback share it, so pair -> tile
+    assignment is identical by construction.  Returns (j, found)."""
+    cum = jnp.zeros_like(m)
+    jsel = jnp.zeros_like(m)
+    target = r.astype(jnp.int32) + 1
+    for j in range(MASK_K):
+        bit = jax.lax.shift_right_logical(m, j) & 1
+        cum = cum + bit
+        jsel = jnp.where((bit == 1) & (cum == target), j, jsel)
+    return jsel, cum >= target
+
 
 def _tile_reachable(x0, y0, tile_size, mx, my, ca, cb, cc, opa):
     """Can alpha = opa * exp(-Q/2) reach ALPHA_MIN inside the pixel rect
@@ -82,7 +104,7 @@ def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
 
 def _bin_kernel(
     i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *,
-    grid_x, tile_size, num_tiles, cull, nt, n_feats=0,
+    grid_x, tile_size, num_tiles, cull, nt, n_feats=0, mask_row=None,
 ):
     """Fused expand + per-pair tile id (+ exact tile-ellipse culling).
 
@@ -187,6 +209,21 @@ def _bin_kernel(
             tx * tile_size, ty * tile_size, float(tile_size), mx, my, ca, cb, cc, opa
         )
         tile_row = jnp.where(keep, tile_row, float(num_tiles))
+    if mask_row is not None:
+        # small-rect gaussians carry exact reachable-tile bitmasks: pair r
+        # maps to the r-th SET BIT (counts were pre-culled in binning, so no
+        # sentinel pairs exist for them); big rects fall through to the
+        # divmod + float-cull path above
+        m = sel[mask_row : mask_row + 1, :].astype(jnp.int32)
+        jsel, found = select_nth_set_bit(m, r.astype(jnp.int32))
+        jf = jsel.astype(jnp.float32)
+        qm = jnp.floor(jf / w)
+        rm = jf - qm * w
+        qm = jnp.where(rm < 0, qm - 1.0, jnp.where(rm >= w, qm + 1.0, qm))
+        rm = jf - qm * w
+        tile_m = (tmy + qm) * grid_x + tmx + rm
+        tile_m = jnp.where(found, tile_m, float(num_tiles))
+        tile_row = jnp.where(m != MASK_NONE, tile_m, tile_row)
 
     def wr(tt, ss):
         return pltpu.make_async_copy(oscr.at[ss], out_hbm.at[tt], sem_w.at[ss])
@@ -230,6 +267,7 @@ def expand_bin_pallas(
     num_tiles: int = 0,
     cull_fields_d: jnp.ndarray | None = None,  # (N, 6) mx|my|ca|cb|cc|opa
     chan_fields_d: jnp.ndarray | None = None,  # (N, C) blend channels
+    mask_d: jnp.ndarray | None = None,  # (N,) reachable-tile bitmask / MASK_NONE
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, ...]:
     """Fused expansion: returns (slot, gauss_idx, tile_id), each (max_pairs,)
@@ -265,6 +303,11 @@ def expand_bin_pallas(
         rows += [pad_f(cull_fields_d[:, j]) for j in range(6)]
     if chan_fields_d is not None:
         rows += [pad_f(chan_fields_d[:, j]) for j in range(chan_fields_d.shape[1])]
+    mask_row = None
+    if mask_d is not None:
+        assert cull, "mask path requires cull fields (w row + fallthrough)"
+        mask_row = len(rows)
+        rows += [pad_f(mask_d, float(MASK_NONE))]
     f_rows = (len(rows) + 7) // 8 * 8
     rows += [jnp.zeros(n_pad, jnp.float32)] * (f_rows - len(rows))
     vals = jnp.stack(rows)  # (F, n_pad)
@@ -297,6 +340,7 @@ def expand_bin_pallas(
             cull=cull,
             nt=nt,
             n_feats=n_feats,
+            mask_row=mask_row,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, orows, 128), jnp.int32),
