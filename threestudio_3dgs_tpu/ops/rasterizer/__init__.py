@@ -1,1 +1,1 @@
-from .api import RasterizeConfig, rasterize  # noqa: F401
+from .api import RasterizeConfig, rasterize, rasterize_batched  # noqa: F401

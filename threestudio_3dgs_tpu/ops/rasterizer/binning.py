@@ -68,6 +68,7 @@ def bin_gaussians_with_feats(
     tile_size: int,
     opacities: jnp.ndarray,
     channels: jnp.ndarray,  # (N, C) blend channels (colors[, depth][, extras])
+    view_grid_y: int = 0,
 ) -> tuple[Binning, jnp.ndarray | None]:
     """Like bin_gaussians, but on the TPU/Pallas path ALSO returns the
     (P, 6 + C) tile-ordered per-pair feature table
@@ -79,7 +80,8 @@ def bin_gaussians_with_feats(
     caller falls back to pair_gather.  Values are within ~1 ulp of the exact
     gather (3-term bf16 one-hot split); gradients route through pair_select."""
     return _bin_impl(
-        proj, grid_x, grid_y, max_pairs, tile_size, opacities, channels
+        proj, grid_x, grid_y, max_pairs, tile_size, opacities, channels,
+        view_grid_y=view_grid_y,
     )
 
 
@@ -91,6 +93,7 @@ def _bin_impl(
     tile_size: int = 0,
     opacities: jnp.ndarray | None = None,
     channels: jnp.ndarray | None = None,
+    view_grid_y: int = 0,
 ) -> tuple[Binning, jnp.ndarray | None]:
     """With `opacities` (activated) and `tile_size`, pairs whose Gaussian
     cannot reach alpha >= ALPHA_MIN anywhere inside the covered tile are
@@ -144,11 +147,12 @@ def _bin_impl(
         remj = jj - qj * w_f
         tx = proj.tiles_min[:, 0:1].astype(jnp.float32) + remj
         ty = proj.tiles_min[:, 1:2].astype(jnp.float32) + qj
+        ty_l = ty if not view_grid_y else ty % float(view_grid_y)
         from .expand_pallas import _tile_reachable
 
         reach = _tile_reachable(
             tx * tile_size,
-            ty * tile_size,
+            ty_l * tile_size,
             float(tile_size),
             proj.means2d[:, 0:1],
             proj.means2d[:, 1:2],
@@ -223,6 +227,7 @@ def _bin_impl(
             cull_fields_d=fields_d[:, 4:10] if cull else None,
             chan_fields_d=fields_d[:, 10 : 10 + n_chan] if emit_feats else None,
             mask_d=fields_d[:, mask_idx] if mask_idx is not None else None,
+            view_grid_y=view_grid_y,
         )
         slot, g, tile_id = outs[:3]
         pair_feat_cols = outs[3:]  # (6 + C) columns, gm order
@@ -259,9 +264,10 @@ def _bin_impl(
                 select_nth_set_bit,
             )
 
+            ty_l = ty if not view_grid_y else ty % view_grid_y
             keep = _tile_reachable(
                 (tx * tile_size).astype(jnp.float32),
-                (ty * tile_size).astype(jnp.float32),
+                (ty_l * tile_size).astype(jnp.float32),
                 float(tile_size),
                 proj.means2d[g, 0],
                 proj.means2d[g, 1],

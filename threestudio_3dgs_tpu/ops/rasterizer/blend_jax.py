@@ -40,11 +40,17 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
 
-def _tile_pixel_coords(tile_idx, grid_x: int, tile_size: int):
-    """Pixel-center coordinates of a tile's pixels, x-major, (npix,) each."""
+def _tile_pixel_coords(tile_idx, grid_x: int, tile_size: int, view_grid_y: int = 0):
+    """Pixel-center coordinates of a tile's pixels, x-major, (npix,) each.
+
+    With `view_grid_y` > 0 (batched multi-view: B views stacked vertically as
+    tile rows), coordinates are VIEW-LOCAL (ty mod view_grid_y) so the pair
+    math stays bit-identical to the single-view render."""
     npix = tile_size * tile_size
     tx = tile_idx % grid_x
     ty = tile_idx // grid_x
+    if view_grid_y:
+        ty = ty % view_grid_y
     lane = jnp.arange(npix, dtype=jnp.float32)
     px = tx * tile_size + lane % tile_size
     py = ty * tile_size + lane // tile_size
@@ -81,6 +87,7 @@ def blend_forward(
     grid_y: int,
     tile_size: int,
     n_channels: int,
+    view_grid_y: int = 0,
 ) -> jnp.ndarray:
     """Returns (num_tiles, npix, C+1)."""
     npix = tile_size * tile_size
@@ -88,7 +95,7 @@ def blend_forward(
     feats_p = jnp.pad(pair_feats, ((0, CHUNK), (0, 0)))
 
     def one_tile(tile_idx, start, end):
-        px, py = _tile_pixel_coords(tile_idx, grid_x, tile_size)
+        px, py = _tile_pixel_coords(tile_idx, grid_x, tile_size, view_grid_y)
 
         def cond(carry):
             base, raw, _ = carry
@@ -133,6 +140,7 @@ def blend_backward(
     grid_y: int,
     tile_size: int,
     n_channels: int,
+    view_grid_y: int = 0,
 ) -> jnp.ndarray:
     """Returns d pair_feats (P, F).  Each pair belongs to exactly one tile, so
     per-tile writes into the pair-grad table never collide."""
@@ -142,7 +150,7 @@ def blend_backward(
     num_tiles = grid_x * grid_y
 
     def one_tile(grads, tile_idx, start, end, out_t, g_t):
-        px, py = _tile_pixel_coords(tile_idx, grid_x, tile_size)
+        px, py = _tile_pixel_coords(tile_idx, grid_x, tile_size, view_grid_y)
         u_tot = jnp.sum(g_t * out_t, axis=1)  # (npix,)
 
         def cond(carry):

@@ -187,13 +187,20 @@ def _fwd_kernel(
     grid_x: int,
     tile_size: int,
     n_channels: int,
+    view_grid_y: int = 0,
 ):
     npix = tile_size * tile_size
     t = pl.program_id(0)
     start = ranges_ref[t]
     end = ranges_ref[t + 1]
+    ty_idx = t // grid_x
+    if view_grid_y:
+        # batched multi-view: B views stack vertically as tile rows; pixel
+        # coordinates stay VIEW-LOCAL so per-pair math is bit-identical to
+        # the single-view render (means2d are unshifted)
+        ty_idx = jax.lax.rem(ty_idx, view_grid_y)
     tx0 = ((t % grid_x) * tile_size).astype(jnp.float32)
-    ty0 = ((t // grid_x) * tile_size).astype(jnp.float32)
+    ty0 = (ty_idx * tile_size).astype(jnp.float32)
     basis = _monomial_basis(tile_size, npix)
     lane = _lane_iota((1, BLOCK))
 
@@ -265,6 +272,7 @@ def blend_forward_pallas(
     tile_size: int,
     n_channels: int,
     interpret: bool = False,
+    view_grid_y: int = 0,
 ) -> jnp.ndarray:
     npix = tile_size * tile_size
     num_tiles = grid_x * grid_y
@@ -274,7 +282,8 @@ def blend_forward_pallas(
     n_out8 = _pad8(n_out)
 
     kernel = functools.partial(
-        _fwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels
+        _fwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels,
+        view_grid_y=view_grid_y,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -319,6 +328,7 @@ def _bwd_kernel(
     grid_x: int,
     tile_size: int,
     n_channels: int,
+    view_grid_y: int = 0,
 ):
     """One program per image tile, walking its pair blocks front-to-back.
 
@@ -331,8 +341,11 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = ranges_ref[t]
     end = ranges_ref[t + 1]
+    ty_idx = t // grid_x
+    if view_grid_y:
+        ty_idx = jax.lax.rem(ty_idx, view_grid_y)  # view-local pixel frame
     tx0 = ((t % grid_x) * tile_size).astype(jnp.float32)
-    ty0 = ((t // grid_x) * tile_size).astype(jnp.float32)
+    ty0 = (ty_idx * tile_size).astype(jnp.float32)
     basis = _monomial_basis(tile_size, npix)
     lane = _lane_iota((1, BLOCK))
 
@@ -501,6 +514,7 @@ def blend_backward_pallas(
     tile_size: int,
     n_channels: int,
     interpret: bool = False,
+    view_grid_y: int = 0,
 ) -> jnp.ndarray:
     npix = tile_size * tile_size
     num_tiles = grid_x * grid_y
@@ -513,7 +527,8 @@ def blend_backward_pallas(
     g_out = jnp.pad(g_out, ((0, 0), (0, 0), (0, n_out8 - n_out)))
 
     kernel = functools.partial(
-        _bwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels
+        _bwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels,
+        view_grid_y=view_grid_y,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

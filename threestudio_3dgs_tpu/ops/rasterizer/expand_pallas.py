@@ -105,6 +105,7 @@ def _kernel(i0_ref, offs_hbm, out_hbm, oscr, sscr, sem_o, sem_w):
 def _bin_kernel(
     i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *,
     grid_x, tile_size, num_tiles, cull, nt, n_feats=0, mask_row=None,
+    view_grid_y=0,
 ):
     """Fused expand + per-pair tile id (+ exact tile-ellipse culling).
 
@@ -205,8 +206,14 @@ def _bin_kernel(
         mx, my = sel[5:6, :], sel[6:7, :]
         ca, cb, cc = sel[7:8, :], sel[8:9, :], sel[9:10, :]
         opa = sel[10:11, :]
+        ty_l = ty
+        if view_grid_y:
+            # batched multi-view: tile rows carry a per-view offset but
+            # means2d stay view-local -- test reachability in the view frame
+            gy = float(view_grid_y)
+            ty_l = ty - jnp.floor(ty / gy) * gy
         keep = _tile_reachable(
-            tx * tile_size, ty * tile_size, float(tile_size), mx, my, ca, cb, cc, opa
+            tx * tile_size, ty_l * tile_size, float(tile_size), mx, my, ca, cb, cc, opa
         )
         tile_row = jnp.where(keep, tile_row, float(num_tiles))
     if mask_row is not None:
@@ -269,6 +276,7 @@ def expand_bin_pallas(
     chan_fields_d: jnp.ndarray | None = None,  # (N, C) blend channels
     mask_d: jnp.ndarray | None = None,  # (N,) reachable-tile bitmask / MASK_NONE
     interpret: bool = False,
+    view_grid_y: int = 0,  # batched multi-view: tile rows per view
 ) -> tuple[jnp.ndarray, ...]:
     """Fused expansion: returns (slot, gauss_idx, tile_id), each (max_pairs,)
     int32, meaningful for p < total pairs (the tail is masked downstream).
@@ -341,6 +349,7 @@ def expand_bin_pallas(
             nt=nt,
             n_feats=n_feats,
             mask_row=mask_row,
+            view_grid_y=view_grid_y,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, orows, 128), jnp.int32),

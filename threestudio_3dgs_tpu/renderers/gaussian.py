@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..models import gaussian_field as gf
 from ..ops import camera as cam_ops
 from ..ops.image import depth_to_normal, normalize_vec
-from ..ops.rasterizer import RasterizeConfig, rasterize
+from ..ops.rasterizer import RasterizeConfig, rasterize, rasterize_batched
 from ..utils.registry import register
 
 
@@ -49,6 +49,10 @@ class RendererConfig:
     # equivalent; each bucket change costs one retrace)
     adaptive_max_pairs: bool = False
     min_pairs: int = 256 * 1024
+    # render the whole camera batch in ONE pipeline pass (views stacked as
+    # tile rows; see ops/rasterizer/api.py::rasterize_batched); falls back to
+    # the per-view loop for renderers that override render_one
+    batched: bool = True
 
 
 class GaussianRendererBase:
@@ -56,6 +60,7 @@ class GaussianRendererBase:
 
     Config = RendererConfig
     max_pairs_override: Optional[int] = None
+    supports_batched = True  # single-pass whole-batch rendering available
     with_depth = False
     with_mask = False
     with_normal = False
@@ -74,11 +79,22 @@ class GaussianRendererBase:
         self.material = material
         self.background = background
 
-    # -- single view -------------------------------------------------------
-    def render_one(
+    def _kernel_bg(self, key, training):
+        """Per-view kernel background color + the key to use downstream
+        (reference diff_gaussian_rasterizer.py:59-64)."""
+        cfg = self.cfg
+        base_bg = jnp.asarray(cfg.back_ground_color, jnp.float32)
+        if self.with_background:
+            return jnp.zeros(3), key  # composite neural bg outside
+        if training and key is not None:
+            key, sub = jax.random.split(key)
+            invert = jax.random.uniform(sub) > cfg.invert_bg_prob
+            return jnp.where(invert, 1.0 - base_bg, base_bg), key
+        return 1.0 - base_bg, key  # eval always inverts (reference quirk)
+
+    def _post_view(
         self,
-        gauss: gf.GaussianState,
-        camera: cam_ops.Camera,
+        out: Dict[str, Any],
         *,
         bg_params=None,
         rays_o=None,
@@ -87,59 +103,11 @@ class GaussianRendererBase:
         key=None,
         ambient_only=None,
         training: bool = False,
-        color_clip: float = float("inf"),
-        means2d_offset: Optional[jnp.ndarray] = None,
-        override_color: Optional[jnp.ndarray] = None,
-        scaling_modifier: float = 1.0,
         ambient_ratio=None,
         shading: Optional[str] = None,
     ) -> Dict[str, Any]:
-        cfg = self.cfg
-        geo = self.geometry
-        params = gauss.params
-
-        # background color handling (reference diff_gaussian_rasterizer.py:59-64)
-        base_bg = jnp.asarray(cfg.back_ground_color, jnp.float32)
-        if self.with_background:
-            kernel_bg = jnp.zeros(3)  # composite neural bg outside
-        elif training and key is not None:
-            key, sub = jax.random.split(key)
-            invert = jax.random.uniform(sub) > cfg.invert_bg_prob
-            kernel_bg = jnp.where(invert, 1.0 - base_bg, base_bg)
-        else:
-            kernel_bg = 1.0 - base_bg  # eval always inverts (reference quirk)
-
-        sh_coeffs = None
-        colors = override_color
-        if colors is None:
-            sh_coeffs = gf.get_features(params, color_clip)
-
-        extra = None
-        if self.with_normal and params.normal is not None:
-            extra = params.normal
-
-        out = rasterize(
-            params.xyz,
-            gf.get_scaling(params, geo.cfg.sphere if geo is not None else False),
-            params.rotation,
-            gf.get_opacity(params)[:, 0],
-            camera,
-            kernel_bg,
-            colors=colors,
-            sh_coeffs=sh_coeffs,
-            sh_degree=geo.active_sh_degree if geo is not None else 0,
-            extra_features=extra,
-            alive=gauss.alive,
-            means2d_offset=means2d_offset,
-            scaling_modifier=scaling_modifier,
-            with_depth=True,
-            config=RasterizeConfig(
-                tile_size=cfg.tile_size,
-                max_pairs=self.max_pairs_override or cfg.max_pairs,
-                impl=cfg.impl,
-            ),
-        )
-
+        """Channel post-processing for ONE view's rasterizer output
+        (background composite, depth->normal, material shading)."""
         result: Dict[str, Any] = {
             "render": jnp.clip(out["image"], 0.0, 1.0),
             "radii": out["radii"],
@@ -211,6 +179,76 @@ class GaussianRendererBase:
 
         return result
 
+    # -- single view -------------------------------------------------------
+    def render_one(
+        self,
+        gauss: gf.GaussianState,
+        camera: cam_ops.Camera,
+        *,
+        bg_params=None,
+        rays_o=None,
+        rays_d=None,
+        light_positions=None,
+        key=None,
+        ambient_only=None,
+        training: bool = False,
+        color_clip: float = float("inf"),
+        means2d_offset: Optional[jnp.ndarray] = None,
+        override_color: Optional[jnp.ndarray] = None,
+        scaling_modifier: float = 1.0,
+        ambient_ratio=None,
+        shading: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        geo = self.geometry
+        params = gauss.params
+
+        kernel_bg, key = self._kernel_bg(key, training)
+
+        sh_coeffs = None
+        colors = override_color
+        if colors is None:
+            sh_coeffs = gf.get_features(params, color_clip)
+
+        extra = None
+        if self.with_normal and params.normal is not None:
+            extra = params.normal
+
+        out = rasterize(
+            params.xyz,
+            gf.get_scaling(params, geo.cfg.sphere if geo is not None else False),
+            params.rotation,
+            gf.get_opacity(params)[:, 0],
+            camera,
+            kernel_bg,
+            colors=colors,
+            sh_coeffs=sh_coeffs,
+            sh_degree=geo.active_sh_degree if geo is not None else 0,
+            extra_features=extra,
+            alive=gauss.alive,
+            means2d_offset=means2d_offset,
+            scaling_modifier=scaling_modifier,
+            with_depth=True,
+            config=RasterizeConfig(
+                tile_size=cfg.tile_size,
+                max_pairs=self.max_pairs_override or cfg.max_pairs,
+                impl=cfg.impl,
+            ),
+        )
+
+        return self._post_view(
+            out,
+            bg_params=bg_params,
+            rays_o=rays_o,
+            rays_d=rays_d,
+            light_positions=light_positions,
+            key=key,
+            ambient_only=ambient_only,
+            training=training,
+            ambient_ratio=ambient_ratio,
+            shading=shading,
+        )
+
     # -- batch (replaces GaussianBatchRenderer.batch_forward) --------------
     def batch_forward(
         self,
@@ -235,10 +273,10 @@ class GaussianRendererBase:
         keys = (
             jax.random.split(key, bs) if key is not None else [None] * bs
         )
-        per_view = []
+        cameras = []
         for i in range(bs):
             fovy = batch["fovy"][i]
-            camera = cam_ops.camera_from_c2w(
+            cameras.append(cam_ops.camera_from_c2w(
                 c2w[i],
                 fovy,
                 fovy,  # fovx = fovy, reference gaussian_batch_renderer.py:24-25
@@ -250,7 +288,28 @@ class GaussianRendererBase:
                 frame_idx=batch["frame_indices"][i]
                 if "frame_indices" in batch
                 else None,
+            ))
+
+        # fast path: the whole camera batch in ONE rasterizer pipeline pass
+        # (views stacked as tile rows; ops/rasterizer/api.py).  Renderers
+        # that override render_one (sugar/spacetime) keep the per-view loop.
+        use_batched = self.cfg.batched and bs > 1 and self.supports_batched
+        if use_batched:
+            return self._batch_forward_batched(
+                gauss, batch, cameras, keys,
+                bg_params=bg_params,
+                ambient_only=ambient_only,
+                training=training,
+                color_clip=color_clip,
+                means2d_offset=means2d_offset,
+                override_color=override_color,
+                ambient_ratio=ambient_ratio,
+                shading=shading,
+                deformation_params=deformation_params,
             )
+
+        per_view = []
+        for i, camera in enumerate(cameras):
             per_view.append(
                 self.render_one(
                     gauss,
@@ -276,6 +335,10 @@ class GaussianRendererBase:
                 )
             )
 
+        return self._stack_views(per_view)
+
+    @staticmethod
+    def _stack_views(per_view) -> Dict[str, Any]:
         outputs: Dict[str, Any] = {
             "comp_rgb": jnp.stack([o["render"] for o in per_view]),
             "radii": jnp.stack([o["radii"] for o in per_view]),
@@ -298,6 +361,118 @@ class GaussianRendererBase:
                     stacked = stacked[..., None]
                 outputs[out_name] = stacked
         return outputs
+
+    def _batched_attrs(
+        self, gauss, cameras, color_clip, override_color, deformation_params
+    ) -> Dict[str, Any]:
+        """kwargs for rasterize_batched; subclasses with per-view attributes
+        (e.g. the timed spacetime field) override this hook."""
+        geo = self.geometry
+        params = gauss.params
+        sh_coeffs = None
+        colors = override_color
+        if colors is None:
+            sh_coeffs = gf.get_features(params, color_clip)
+        extra = None
+        if self.with_normal and params.normal is not None:
+            extra = params.normal
+        return dict(
+            means3d=params.xyz,
+            scales=gf.get_scaling(
+                params, geo.cfg.sphere if geo is not None else False
+            ),
+            quats=params.rotation,
+            opacities=gf.get_opacity(params)[:, 0],
+            colors=colors,
+            sh_coeffs=sh_coeffs,
+            sh_degree=geo.active_sh_degree if geo is not None else 0,
+            extra_features=extra,
+            alive=gauss.alive,
+        )
+
+    def _batch_forward_batched(
+        self,
+        gauss: gf.GaussianState,
+        batch: Dict[str, Any],
+        cameras,
+        keys,
+        *,
+        bg_params=None,
+        ambient_only=None,
+        training: bool = False,
+        color_clip: float = float("inf"),
+        means2d_offset: Optional[jnp.ndarray] = None,
+        override_color=None,
+        ambient_ratio=None,
+        shading: Optional[str] = None,
+        deformation_params=None,
+    ) -> Dict[str, Any]:
+        """One rasterizer pipeline pass for the whole camera batch.
+
+        The pair capacity becomes a SHARED pool of bs * max_pairs (a view
+        over demand borrows headroom from the others); per-view n_pairs /
+        n_dropped are reported as the per-view share of the global totals so
+        the adaptive-capacity controller sees pool-equivalent demand."""
+        bs = len(cameras)
+
+        bgs, post_keys = [], []
+        for i in range(bs):
+            bg_i, k_i = self._kernel_bg(keys[i], training)
+            bgs.append(bg_i)
+            post_keys.append(k_i)
+
+        attrs = self._batched_attrs(
+            gauss, cameras, color_clip, override_color, deformation_params
+        )
+        per_view_cap = self.max_pairs_override or self.cfg.max_pairs
+        out = rasterize_batched(
+            cameras=cameras,
+            bg_color=jnp.stack(bgs),
+            means2d_offset=means2d_offset,
+            with_depth=True,
+            config=RasterizeConfig(
+                tile_size=self.cfg.tile_size,
+                max_pairs=per_view_cap * bs,
+                impl=self.cfg.impl,
+            ),
+            **attrs,
+        )
+
+        # per-view share of the shared-pool totals (ceil keeps dropped > 0
+        # visible to the grow trigger)
+        n_pairs_v = (out["n_pairs"] + bs - 1) // bs
+        n_dropped_v = (out["n_dropped"] + bs - 1) // bs
+
+        per_view = []
+        for i in range(bs):
+            view_out = {
+                "image": out["image"][i],
+                "alpha": out["alpha"][i],
+                "depth": out["depth"][i],
+                "radii": out["radii"][i],
+                "visibility": out["visibility"][i],
+                "n_pairs": n_pairs_v,
+                "n_dropped": n_dropped_v,
+            }
+            if "extra" in out:
+                view_out["extra"] = out["extra"][i]
+            per_view.append(
+                self._post_view(
+                    view_out,
+                    bg_params=bg_params,
+                    rays_o=batch["rays_o"][i] if "rays_o" in batch else None,
+                    rays_d=batch["rays_d"][i] if "rays_d" in batch else None,
+                    light_positions=batch["light_positions"][i]
+                    if "light_positions" in batch
+                    else None,
+                    key=post_keys[i],
+                    ambient_only=ambient_only,
+                    training=training,
+                    ambient_ratio=ambient_ratio,
+                    shading=shading,
+                )
+            )
+        return self._stack_views(per_view)
 
 
 @register("diff-gaussian-rasterizer")

@@ -25,6 +25,34 @@ class DiffGaussianRasterizerSpacetime(GaussianRendererBase):
     with_depth = True
     with_mask = True
 
+    def _batched_attrs(
+        self, gauss, cameras, color_clip, override_color, deformation_params
+    ):
+        """Per-view TIMED attributes (each camera carries its own
+        timestamp/frame index) stacked to (B, N, ...): the whole frame batch
+        renders in one rasterizer pipeline pass."""
+        geo = self.geometry
+        m_v, s_v, q_v, o_v, c_v = [], [], [], [], []
+        for cam in cameras:
+            timestamp = cam.timestamp if cam.timestamp is not None else 0.0
+            frame_idx = cam.frame_idx if cam.frame_idx is not None else 0
+            means3d, scales, rotations, opacity, colors = geo.get_timed_all(
+                gauss, timestamp, frame_idx, deformation_params
+            )
+            m_v.append(means3d)
+            s_v.append(scales)
+            q_v.append(rotations)
+            o_v.append(opacity[:, 0])
+            c_v.append(colors if override_color is None else override_color)
+        return dict(
+            means3d=jnp.stack(m_v),
+            scales=jnp.stack(s_v),
+            quats=jnp.stack(q_v),
+            opacities=jnp.stack(o_v),
+            colors=jnp.stack(c_v),
+            alive=gauss.alive,
+        )
+
     def render_one(
         self,
         gauss,

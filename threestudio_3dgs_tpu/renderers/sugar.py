@@ -20,6 +20,9 @@ from .gaussian import GaussianRendererBase
 
 
 class SuGaRRendererBase(GaussianRendererBase):
+    # mesh-bound attributes + gs-normal channels are view-coupled through the
+    # overridden render_one; keep the per-view loop (batched path TBD)
+    supports_batched = False
     with_depth = True
     with_mask = True
     with_shading = False
