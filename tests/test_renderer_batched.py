@@ -102,14 +102,6 @@ def test_batched_grads_match_loop():
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * scale)
 
 
-def test_sugar_renderers_keep_loop():
-    """SuGaR renderers (view-coupled mesh attributes) opt out of the
-    batched fast path."""
-    from threestudio_3dgs_tpu.renderers.sugar import SuGaRRendererBase
-
-    assert SuGaRRendererBase.supports_batched is False
-
-
 def test_spacetime_batched_equals_loop():
     """The spacetime renderer's batched hook evaluates per-view TIMED
     attributes; batched == loop bit-for-bit."""
@@ -146,3 +138,55 @@ def test_spacetime_batched_equals_loop():
         )
     # timestamps actually matter: view 0 and view 2 render differently
     assert float(jnp.max(jnp.abs(out_b["comp_rgb"][0] - out_b["comp_rgb"][2]))) >= 0.0
+
+
+def test_sugar_batched_equals_loop():
+    """SuGaR renderer (surface-bound gaussians + face-normal splat channel):
+    batched == loop bit-for-bit, including normal / normal_from_dist maps."""
+    from tests.test_sugar import make_model
+
+    geo = make_model(n_per_face=1)
+    sugar_state = geo.init_state(0)
+    batch = _make_batch(bs=2, height=32, width=32)
+    key = jax.random.PRNGKey(11)
+
+    r_b = find("diff-sugar-rasterizer-normal")(
+        dict(RCFG, batched=True), geometry=geo
+    )
+    r_l = find("diff-sugar-rasterizer-normal")(
+        dict(RCFG, batched=False), geometry=geo
+    )
+    out_b = r_b.batch_forward(sugar_state, batch, key=key, training=True)
+    out_l = r_l.batch_forward(sugar_state, batch, key=key, training=True)
+    assert "comp_normal" in out_b and "comp_normal_from_dist" in out_b
+    for k in out_b:
+        if k in ("n_pairs", "n_dropped"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(out_b[k]), np.asarray(out_l[k]), err_msg=k
+        )
+
+
+def test_sugar_temporal_batched_equals_loop():
+    from tests.test_sugar import TestDynamicSuGaR
+
+    geo = TestDynamicSuGaR()._model()
+    sugar_state = geo.init_state(0)
+    batch = _make_batch(bs=2, height=32, width=32)
+    batch["timestamp"] = jnp.asarray([0.0, 0.6], jnp.float32)
+    batch["frame_indices"] = jnp.asarray([0, 3], jnp.int32)
+
+    r_b = find("diff-sugar-rasterizer-temporal")(
+        dict(RCFG, batched=True), geometry=geo
+    )
+    r_l = find("diff-sugar-rasterizer-temporal")(
+        dict(RCFG, batched=False), geometry=geo
+    )
+    out_b = r_b.batch_forward(sugar_state, batch, key=None, training=False)
+    out_l = r_l.batch_forward(sugar_state, batch, key=None, training=False)
+    for k in out_b:
+        if k in ("n_pairs", "n_dropped"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(out_b[k]), np.asarray(out_l[k]), err_msg=k
+        )

@@ -252,8 +252,13 @@ class TestSugar4DEndToEnd:
                     "lambda_mask": 100.0,
                     "lambda_normal_consistency": 0.1,
                     "lambda_laplacian_smoothing": 0.1,
-                    "lambda_arap_reg": 1.0,
+                    "lambda_arap_reg_key_frame": 1.0,  # reference alias
                     "lambda_ref_xyz": 1.0,
+                    "lambda_obj_centric": 0.1,
+                    "lambda_rgb_tv": 1.0,
+                    "lambda_depth_tv": 1.0,
+                    "lambda_normal_tv": 1.0,
+                    "lambda_normal_depth_consistency": 1.0,
                 },
             }
         )
@@ -267,6 +272,15 @@ class TestSugar4DEndToEnd:
             key, sub = jax.random.split(key)
             state, logs = system.train_step(state, batch, step, sub)
         assert np.isfinite(float(logs["train/loss_total"]))
+        # the image-space regularizers were active and finite
+        for k in (
+            "train/loss_rgb_tv",
+            "train/loss_normal_tv",
+            "train/loss_normal_depth_consistency",
+            "train/loss_arap_reg",
+            "train/loss_obj_centric",
+        ):
+            assert k in logs and np.isfinite(float(logs[k])), k
         # node transforms learned something
         assert float(jnp.sum(jnp.abs(state.gauss.params.node_trans))) > 0
 

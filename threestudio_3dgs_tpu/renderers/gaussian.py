@@ -353,6 +353,7 @@ class GaussianRendererBase:
             ("mask", "comp_mask"),
             ("normal", "comp_normal"),
             ("pred_normal", "comp_pred_normal"),
+            ("normal_from_dist", "comp_normal_from_dist"),
             ("comp_rgb_bg", "comp_rgb_bg"),
         ]:
             if name in per_view[0]:

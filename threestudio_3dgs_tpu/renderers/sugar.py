@@ -20,17 +20,29 @@ from .gaussian import GaussianRendererBase
 
 
 class SuGaRRendererBase(GaussianRendererBase):
-    # mesh-bound attributes + gs-normal channels are view-coupled through the
-    # overridden render_one; keep the per-view loop (batched path TBD)
-    supports_batched = False
+    supports_batched = True
     with_depth = True
     with_mask = True
     with_shading = False
 
-    def render_one(
+    def _batched_attrs(
+        self, sugar_state, cameras, color_clip, override_color, deformation_params
+    ):
+        arrays = self.geometry.as_gaussian_arrays(sugar_state, color_clip)
+        return dict(
+            means3d=arrays["means3d"],
+            scales=arrays["scales"],
+            quats=arrays["quats"],
+            opacities=arrays["opacities"],
+            sh_coeffs=arrays.get("sh_coeffs"),
+            colors=arrays.get("colors"),
+            sh_degree=self.geometry.active_sh_degree,
+            extra_features=arrays["normals"],
+        )
+
+    def _post_view(
         self,
-        sugar_state,
-        camera: cam_ops.Camera,
+        out,
         *,
         bg_params=None,
         rays_o=None,
@@ -38,53 +50,10 @@ class SuGaRRendererBase(GaussianRendererBase):
         light_positions=None,
         key=None,
         ambient_only=None,
-        training: bool = False,
-        color_clip: float = float("inf"),
-        means2d_offset=None,
-        override_color=None,
-        scaling_modifier: float = 1.0,
+        training=False,
         ambient_ratio=None,
-        shading: Optional[str] = None,
-        deformation_params=None,
-        timed_arrays=None,
+        shading=None,
     ) -> Dict[str, Any]:
-        cfg = self.cfg
-        geo = self.geometry
-
-        base_bg = jnp.asarray(cfg.back_ground_color, jnp.float32)
-        if training and key is not None:
-            key, sub = jax.random.split(key)
-            invert = jax.random.uniform(sub) > cfg.invert_bg_prob
-            kernel_bg = jnp.where(invert, 1.0 - base_bg, base_bg)
-        else:
-            kernel_bg = 1.0 - base_bg
-
-        arrays = (
-            timed_arrays
-            if timed_arrays is not None
-            else geo.as_gaussian_arrays(sugar_state, color_clip)
-        )
-
-        out = rasterize(
-            arrays["means3d"],
-            arrays["scales"],
-            arrays["quats"],
-            arrays["opacities"],
-            camera,
-            kernel_bg,
-            sh_coeffs=arrays.get("sh_coeffs"),
-            colors=arrays.get("colors"),
-            sh_degree=geo.active_sh_degree,
-            extra_features=arrays["normals"],
-            means2d_offset=means2d_offset,
-            scaling_modifier=scaling_modifier,
-            with_depth=True,
-            config=RasterizeConfig(
-                tile_size=cfg.tile_size,
-                max_pairs=self.max_pairs_override or cfg.max_pairs,
-                impl=cfg.impl,
-            ),
-        )
         alpha = out["alpha"]
         depth = out["depth"]
         # splatted face normals; the reference flips the sign to match its
@@ -132,6 +101,71 @@ class SuGaRRendererBase(GaussianRendererBase):
             result["render"] = jnp.clip(comp, 0.0, 1.0)
         return result
 
+    def render_one(
+        self,
+        sugar_state,
+        camera: cam_ops.Camera,
+        *,
+        bg_params=None,
+        rays_o=None,
+        rays_d=None,
+        light_positions=None,
+        key=None,
+        ambient_only=None,
+        training: bool = False,
+        color_clip: float = float("inf"),
+        means2d_offset=None,
+        override_color=None,
+        scaling_modifier: float = 1.0,
+        ambient_ratio=None,
+        shading: Optional[str] = None,
+        deformation_params=None,
+        timed_arrays=None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        geo = self.geometry
+
+        kernel_bg, key = self._kernel_bg(key, training)
+
+        arrays = (
+            timed_arrays
+            if timed_arrays is not None
+            else geo.as_gaussian_arrays(sugar_state, color_clip)
+        )
+
+        out = rasterize(
+            arrays["means3d"],
+            arrays["scales"],
+            arrays["quats"],
+            arrays["opacities"],
+            camera,
+            kernel_bg,
+            sh_coeffs=arrays.get("sh_coeffs"),
+            colors=arrays.get("colors"),
+            sh_degree=geo.active_sh_degree,
+            extra_features=arrays["normals"],
+            means2d_offset=means2d_offset,
+            scaling_modifier=scaling_modifier,
+            with_depth=True,
+            config=RasterizeConfig(
+                tile_size=cfg.tile_size,
+                max_pairs=self.max_pairs_override or cfg.max_pairs,
+                impl=cfg.impl,
+            ),
+        )
+        return self._post_view(
+            out,
+            bg_params=bg_params,
+            rays_o=rays_o,
+            rays_d=rays_d,
+            light_positions=light_positions,
+            key=key,
+            ambient_only=ambient_only,
+            training=training,
+            ambient_ratio=ambient_ratio,
+            shading=shading,
+        )
+
 
 @register("diff-sugar-rasterizer-normal")
 class DiffSugarRasterizerNormal(SuGaRRendererBase):
@@ -156,6 +190,34 @@ class DiffSugarRasterizerTemporal(SuGaRRendererBase):
             timestamp,
             frame_idx,
             kwargs.get("deformation_params"),
+            kwargs.get("color_clip", float("inf")),
         )
         kwargs["timed_arrays"] = timed
         return super().render_one(sugar_state, camera, **kwargs)
+
+    def _batched_attrs(
+        self, sugar_state, cameras, color_clip, override_color, deformation_params
+    ):
+        """Per-view TIMED mesh-bound gaussians stacked to (B, N, ...): the
+        whole (frame x camera) batch renders in one pipeline pass."""
+        stacked: Dict[str, list] = {}
+        for cam in cameras:
+            timestamp = cam.timestamp if cam.timestamp is not None else 0.0
+            frame_idx = cam.frame_idx if cam.frame_idx is not None else 0
+            arrays = self.geometry.get_timed_gs_arrays(
+                sugar_state, timestamp, frame_idx, deformation_params,
+                color_clip,
+            )
+            for k, v in arrays.items():
+                stacked.setdefault(k, []).append(v)
+        arr = {k: jnp.stack(v) for k, v in stacked.items()}
+        return dict(
+            means3d=arr["means3d"],
+            scales=arr["scales"],
+            quats=arr["quats"],
+            opacities=arr["opacities"],
+            sh_coeffs=arr.get("sh_coeffs"),
+            colors=arr.get("colors"),
+            sh_degree=self.geometry.active_sh_degree,
+            extra_features=arr["normals"],
+        )

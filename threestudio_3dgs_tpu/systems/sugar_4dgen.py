@@ -95,6 +95,39 @@ class Sugar4DGenSystem(Zero123System):
         )
 
     # -- regularizers --------------------------------------------------------
+    def _image_reg_losses(self, out, sched, logs):
+        """Image-space regularizers on the substep's render
+        (reference sugar_4dgen.py:276-302): rgb/depth/normal total variation
+        and the normal vs depth-derived-normal MSE."""
+        from ..utils.loss import tv_loss
+
+        loss = jnp.float32(0.0)
+        if self.has_loss("lambda_rgb_tv"):
+            v = tv_loss(out["comp_rgb"])
+            logs["train/loss_rgb_tv"] = v
+            loss = loss + v * self.loss_lambda(sched, "lambda_rgb_tv")
+        if self.has_loss("lambda_depth_tv") and "comp_depth" in out:
+            v = tv_loss(out["comp_depth"])
+            logs["train/loss_depth_tv"] = v
+            loss = loss + v * self.loss_lambda(sched, "lambda_depth_tv")
+        if self.has_loss("lambda_normal_tv") and "comp_normal" in out:
+            v = tv_loss(out["comp_normal"])
+            logs["train/loss_normal_tv"] = v
+            loss = loss + v * self.loss_lambda(sched, "lambda_normal_tv")
+        if (
+            self.has_loss("lambda_normal_depth_consistency")
+            and "comp_normal" in out
+            and "comp_normal_from_dist" in out
+        ):
+            n1 = out["comp_normal"] * 2.0 - 1.0
+            n2 = out["comp_normal_from_dist"] * 2.0 - 1.0
+            v = jnp.mean((n1 - n2) ** 2)
+            logs["train/loss_normal_depth_consistency"] = v
+            loss = loss + v * self.loss_lambda(
+                sched, "lambda_normal_depth_consistency"
+            )
+        return loss
+
     def _mesh_motion_losses(self, ss, ep, batch, sched, key, logs):
         loss = jnp.float32(0.0)
         topo = self.geometry.topology
@@ -120,8 +153,11 @@ class Sugar4DGenSystem(Zero123System):
                 sched, "lambda_laplacian_smoothing"
             )
 
-        if self.has_loss("lambda_arap_reg") or self.has_loss(
-            "lambda_full_arap_reg"
+        if (
+            self.has_loss("lambda_arap_reg")
+            or self.has_loss("lambda_full_arap_reg")
+            or self.has_loss("lambda_arap_reg_key_frame")
+            or self.has_loss("lambda_arap_reg_inter_frame")
         ):
             # ARAP between the canonical mesh and a random inter-frame time
             # (reference :321-328,391-421)
@@ -133,16 +169,40 @@ class Sugar4DGenSystem(Zero123System):
                 weights=self._arap_weights,
             ) / ss.params.points.shape[0]
             logs["train/loss_arap_reg"] = e
+            # reference splits ARAP into key-frame / inter-frame substep
+            # weights (configs/sugar_dynamic_dg.yaml:172-173); our single
+            # random-time ARAP accepts any of the names (max over aliases)
+            zero = jnp.float32(0.0)
             lam = sched["lambdas"].get(
                 "lambda_arap_reg",
-                sched["lambdas"].get("lambda_full_arap_reg", jnp.float32(0.0)),
+                sched["lambdas"].get("lambda_full_arap_reg", zero),
+            )
+            lam = jnp.maximum(
+                lam,
+                jnp.maximum(
+                    sched["lambdas"].get("lambda_arap_reg_key_frame", zero),
+                    sched["lambdas"].get("lambda_arap_reg_inter_frame", zero),
+                ),
             )
             loss = loss + e * lam
 
         if self.has_loss("lambda_ref_xyz"):
-            anchor = jnp.mean(jnp.sum((verts_t - ss.params.points) ** 2, axis=-1))
+            # reference anchors the t=0 deformed verts to the canonical mesh
+            # with an L1 mean (sugar_4dgen.py:304-307)
+            verts_0 = self.geometry.timed_vertices(
+                ss, jnp.float32(0.0), 0, deformation
+            )
+            anchor = jnp.mean(jnp.abs(verts_0 - ss.params.points))
             logs["train/loss_ref_xyz"] = anchor
             loss = loss + anchor * self.loss_lambda(sched, "lambda_ref_xyz")
+        if self.has_loss("lambda_obj_centric"):
+            # keep the deforming object centered in xy
+            # (reference sugar_4dgen.py:310-319)
+            oc = jnp.abs(jnp.mean(verts_t[..., 0])) + jnp.abs(
+                jnp.mean(verts_t[..., 1])
+            )
+            logs["train/loss_obj_centric"] = oc
+            loss = loss + oc * self.loss_lambda(sched, "lambda_obj_centric")
         return loss
 
     # -- train step ----------------------------------------------------------
@@ -180,6 +240,8 @@ class Sugar4DGenSystem(Zero123System):
                     batch["rgb"] * batch["mask"],
                 )
                 out_stats = out_ref
+            if out_stats is not None:
+                total = total + self._image_reg_losses(out_stats, sched, logs)
             k, k_m = jax.random.split(k)
             total = total + self._mesh_motion_losses(
                 ss, ep, batch, sched, k_m, logs

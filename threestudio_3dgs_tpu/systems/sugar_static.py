@@ -258,7 +258,8 @@ class SugarStaticSystem(Zero123System):
             ):
                 n1 = out_stats["comp_normal"] * 2.0 - 1.0
                 n2 = out_stats["comp_normal_from_dist"] * 2.0 - 1.0
-                ndc = jnp.mean(1.0 - jnp.sum(n1 * n2, axis=-1))
+                # MSE between raw normals (reference sugar_static.py:306-313)
+                ndc = jnp.mean((n1 - n2) ** 2)
                 logs["train/loss_normal_depth_consistency"] = ndc
                 total = total + ndc * self.loss_lambda(
                     sched, "lambda_normal_depth_consistency"
