@@ -102,13 +102,13 @@ def make_dp_train_step(
         ),
     )
     try:
-        from jax.experimental.shard_map import shard_map
-
-        sharded_grads = shard_map(per_device_grads, check_rep=False, **specs)
-    except (ImportError, TypeError):
         from jax import shard_map
 
         sharded_grads = shard_map(per_device_grads, check_vma=False, **specs)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        sharded_grads = shard_map(per_device_grads, check_rep=False, **specs)
 
     def step(state: SystemState, dev_batch: Dict[str, Any], key, sched):
         g_gauss, g_extra, radii_max, vis_sum, grad_sum, logs = sharded_grads(

@@ -102,10 +102,10 @@ def make_tile_parallel_rasterize(
 
     specs = dict(mesh=mesh, in_specs=(repl,) * 5, out_specs=out_specs)
     try:
-        from jax.experimental.shard_map import shard_map
-
-        return shard_map(band_render, check_rep=False, **specs)
-    except (ImportError, TypeError):
         from jax import shard_map
 
         return shard_map(band_render, check_vma=False, **specs)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(band_render, check_rep=False, **specs)
