@@ -338,6 +338,19 @@ class TestSugarStaticEndToEnd:
         # mesh vertices moved (learnable positions)
         assert not np.allclose(np.asarray(state.gauss.params.points), v0)
 
+        # --predict surface: bake a textured OBJ from a few eval views
+        # (reference system/base.py:72-323 predict path)
+        import os
+
+        views = data.val_views()[:2]
+        out_path = str(tmp_path / "textured_mesh.obj")
+        result = system.predict_textured_mesh(state, views, out_path)
+        assert os.path.exists(result)
+        base = result[: -len(".obj")]
+        assert os.path.exists(base + ".mtl") or os.path.exists(
+            str(tmp_path / "textured_mesh.mtl")
+        )
+
 
 class TestTextureBake:
     def test_bake_and_save(self, tmp_path):

@@ -16,6 +16,7 @@ def main(argv=None):
     parser.add_argument("--validate", action="store_true")
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--export", action="store_true")
+    parser.add_argument("--predict", action="store_true")
     parser.add_argument("--gpu", default=None, help="ignored (compat)")
     parser.add_argument("--resume", default=None)
     parser.add_argument(
@@ -54,6 +55,15 @@ def main(argv=None):
         else:
             trainer.state = trainer.system.init_state(cfg.seed)
         trainer.test()
+    if args.predict:
+        if trainer.state is None:
+            if cfg.resume:
+                from .utils.ckpt import load_checkpoint
+
+                trainer.state, trainer.step = load_checkpoint(cfg.resume)
+            else:
+                trainer.state = trainer.system.init_state(cfg.seed)
+        trainer.predict()
     if args.export:
         if trainer.state is None:
             if cfg.resume:

@@ -156,6 +156,24 @@ class Trainer:
         self.system.geometry.save_ply(self.state.gauss, ply_path)
         print(f"[trainer] test renders -> {out_dir}; video={video}; ply={ply_path}")
 
+    def predict(self):
+        """--predict: textured-mesh extraction for SuGaR systems (reference
+        system/base.py:72-323 predict path); falls back to test renders for
+        systems without a predict surface."""
+        if not hasattr(self.system, "predict_textured_mesh"):
+            print("[trainer] system has no predict path; running test()")
+            return self.test()
+        if hasattr(self.data, "predict_views"):
+            views = self.data.predict_views()
+        else:
+            views = self.data.test_views()
+        out_dir = os.path.join(self.save_dir, "save", f"it{self.step}-predict")
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, "textured_mesh.obj")
+        result = self.system.predict_textured_mesh(self.state, views, out_path)
+        print(f"[trainer] predict (textured mesh) -> {result}")
+        return result
+
     def export(self):
         exporter_type = getattr(self.system.cfg, "exporter_type", None) or (
             "gaussian-mesh-exporter"
