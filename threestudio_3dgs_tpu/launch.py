@@ -45,7 +45,14 @@ def main(argv=None):
             trainer.fit(resume=cfg.resume)
         trainer.test()
     elif args.validate:
-        trainer.fit(resume=cfg.resume) if trainer.state is None else None
+        # validation-only: load the checkpoint (or a fresh init) -- the
+        # reference's --validate never trains (threestudio launch.py)
+        if cfg.resume:
+            from .utils.ckpt import load_checkpoint
+
+            trainer.state, trainer.step = load_checkpoint(cfg.resume)
+        else:
+            trainer.state = trainer.system.init_state(cfg.seed)
         trainer.validate()
     elif args.test:
         if cfg.resume:

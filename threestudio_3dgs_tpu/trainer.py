@@ -47,6 +47,15 @@ class Trainer:
         self.metrics_log = []
         self._metrics_file = None
         self.wandb_run = self._init_wandb(cfg)
+        # failure detection / recovery (SURVEY.md section 5: absent in the
+        # reference -- crashes just die; here device faults trigger an
+        # emergency checkpoint and bounded in-place retries, and a NaN
+        # watchdog aborts with a diagnostic instead of training on garbage)
+        ft = cfg.trainer.get("fault_tolerance", {}) or {}
+        self.ft_max_retries = int(ft.get("max_retries", 1))
+        self.ft_retry_wait_s = float(ft.get("retry_wait_s", 10.0))
+        self.ft_nan_patience = int(ft.get("nan_patience", 3))
+        self._nan_streak = 0
 
     def _init_wandb(self, cfg: ExperimentConfig):
         """Optional wandb logging (reference configs' `loggers.wandb` block,
@@ -96,18 +105,63 @@ class Trainer:
         key = jax.random.PRNGKey(self.cfg.seed)
 
         t_start = time.time()
+        retries = 0
         while self.step < self.max_steps:
             batch = self.data.train_batch(self.step)
             key, sub = jax.random.split(key)
-            self.state, logs = self.system.train_step(
-                self.state, batch, self.step, sub
-            )
+            try:
+                self.state, logs = self.system.train_step(
+                    self.state, batch, self.step, sub
+                )
+            except Exception as e:  # device fault / tunnel drop / OOM
+                name = type(e).__name__
+                if "KeyboardInterrupt" in name:
+                    raise
+                retries += 1
+                crash_path = os.path.join(
+                    self.save_dir, "ckpts", "crash.ckpt.npz"
+                )
+                try:
+                    save_checkpoint(crash_path, self.state, self.step)
+                    print(
+                        f"[trainer] step {self.step} failed ({name}: {e}); "
+                        f"emergency checkpoint -> {crash_path}",
+                        flush=True,
+                    )
+                except Exception as e2:  # state itself may be poisoned
+                    print(
+                        f"[trainer] step {self.step} failed ({name}) and the "
+                        f"emergency checkpoint also failed ({e2})",
+                        flush=True,
+                    )
+                if retries > self.ft_max_retries:
+                    raise
+                print(
+                    f"[trainer] retry {retries}/{self.ft_max_retries} "
+                    f"in {self.ft_retry_wait_s:.0f}s",
+                    flush=True,
+                )
+                time.sleep(self.ft_retry_wait_s)
+                continue
+            retries = 0
             self.step += 1
 
             if self.step % self.log_every == 0 or self.step == 1:
                 logs_host = {
                     k: float(np.asarray(v)) for k, v in jax.device_get(logs).items()
                 }
+                total = logs_host.get("train/loss_total")
+                if total is not None and not np.isfinite(total):
+                    self._nan_streak += 1
+                    if self._nan_streak >= self.ft_nan_patience:
+                        self.save_ckpt("nan.ckpt.npz")
+                        raise FloatingPointError(
+                            f"train/loss_total non-finite for "
+                            f"{self._nan_streak} consecutive logged steps "
+                            f"(step {self.step}); state saved to nan.ckpt.npz"
+                        )
+                else:
+                    self._nan_streak = 0
                 logs_host["step"] = self.step
                 logs_host["wall_s"] = round(time.time() - t_start, 1)
                 self._log_metrics(logs_host)
