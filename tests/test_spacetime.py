@@ -175,3 +175,48 @@ class TestGs4dEndToEnd:
             assert np.isfinite(row["train/loss_total"]), row
         # dynamic deltas received gradient updates
         assert float(jnp.sum(jnp.abs(state.gauss.params.delta_xyz))) > 0
+
+    def test_spline_smoke(self, tmp_path):
+        """The SE(3)-spline motion config (driver config ladder item 5:
+        gs4d_spline at multiple timesteps) runs through the Trainer."""
+        import os
+
+        from threestudio_3dgs_tpu.utils.config import load_config
+        from threestudio_3dgs_tpu.trainer import Trainer
+
+        spline_cfg = os.path.join(os.path.dirname(CONFIG), "gs4d_spline.yaml")
+        cfg = load_config(
+            spline_cfg,
+            [
+                f"exp_root_dir={tmp_path}",
+                "trainer.max_steps=3",
+                "trainer.val_check_interval=1000",
+                "data.height=32",
+                "data.width=32",
+                "data.video_length=4",
+                "data.num_frames=3",
+                "data.random_camera.height=32",
+                "data.random_camera.width=32",
+                "data.random_camera.batch_size=1",
+                "system.geometry.init_num_pts=128",
+                "system.geometry.max_num=512",
+                "system.geometry.capacity=640",
+                "system.geometry.num_frames=5",
+                "system.renderer.tile_size=16",
+                "system.renderer.max_pairs=32768",
+                "system.renderer.impl=jax",
+                "checkpoint.every_n_train_steps=100",
+            ],
+        )
+        trainer = Trainer(cfg)
+        state = trainer.fit()
+        for row in trainer.metrics_log:
+            assert np.isfinite(row["train/loss_total"]), row
+        # spline control-knot parameters moved
+        p = state.gauss.params
+        knot_like = [
+            a for a in (p.delta_xyz, p.delta_rot) if a is not None and a.size
+        ]
+        assert knot_like and any(
+            float(jnp.sum(jnp.abs(a))) > 0 for a in knot_like
+        )
