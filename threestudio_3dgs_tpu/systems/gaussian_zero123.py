@@ -137,6 +137,16 @@ class Zero123System(BaseGaussianSystem):
             return ls * self.loss_lambda(sched, "lambda_normal_smooth")
         return jnp.float32(0.0)
 
+    def _extra_sig(self, step: int) -> tuple:
+        """Extra STATIC jit-signature entries subclasses key their graphs on
+        (e.g. step-milestone flags); appended to sig after the 8 base slots."""
+        return ()
+
+    def _guidance_2d_losses(self, out_z, rcb, sched, key, logs, sig):
+        """Optional 2D-diffusion SDS on the random-camera substep (reference
+        sugar_static.py:231-244); base systems have none."""
+        return jnp.float32(0.0)
+
     def extra_substep_losses(self, gs, batch, sched, key, logs, out_ref):
         """Hook for subclasses (e.g. SuGaR gaussian-stage regularizers)."""
         return jnp.float32(0.0)
@@ -145,7 +155,7 @@ class Zero123System(BaseGaussianSystem):
     def _train_step_impl(
         self, sig, state, batch, key, sched
     ):
-        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig
+        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig[:8]
         cap = state.gauss.capacity
         b_stats = bs if do_ref else bsrc
         vs_dummy = jnp.zeros((b_stats, cap, 2))
@@ -176,6 +186,10 @@ class Zero123System(BaseGaussianSystem):
                 )
                 logs["train/loss_zero123_sds"] = guidance_out["loss_sds"]
                 loss_z = loss_z + self._normal_smooth_loss(out_z, sched, logs, "zero123")
+                k, k_g2 = jax.random.split(k)
+                loss_z = loss_z + self._guidance_2d_losses(
+                    out_z, rcb, sched, k_g2, logs, sig
+                )
                 total = total + loss_z
                 out_stats = out_z
             if do_ref:
@@ -258,7 +272,7 @@ class Zero123System(BaseGaussianSystem):
         else:
             bsrc, hrc, wrc = 0, 0, 0
             do_z = False
-        sig = (h, w, bs, hrc, wrc, bsrc, do_ref, do_z)
+        sig = (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) + self._extra_sig(step)
         if sig not in self._train_jit:
             self._train_jit[sig] = jax.jit(partial(self._train_step_impl, sig))
         k_step, k_struct = jax.random.split(key)

@@ -207,7 +207,7 @@ class Sugar4DGenSystem(Zero123System):
 
     # -- train step ----------------------------------------------------------
     def _train_step_impl(self, sig, state, batch, key, sched):
-        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig
+        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig[:8]
         sugar_state = state.gauss
 
         def loss_fn(params, ep):

@@ -38,23 +38,84 @@ from .gaussian_zero123 import Zero123System, Zero123SystemConfig
 class SugarStaticConfig(Zero123SystemConfig):
     stage: str = "gaussian"  # 'gaussian' | 'sugar'
     sugar: dict = dataclasses.field(default_factory=dict)
+    # optional 2D-diffusion SDS on the random-camera substep, alternating
+    # normal/rgb inputs by freq.input_normal after freq.milestone_2d_sds
+    # (reference sugar_static.py:231-244)
+    guidance_2d_type: Optional[str] = None
+    guidance_2d: dict = dataclasses.field(default_factory=dict)
+    prompt_processor_2d_type: Optional[str] = None
+    prompt_processor_2d: dict = dataclasses.field(default_factory=dict)
+    n_samples_for_sugar_sdf_reg: Optional[int] = None  # reference alias
 
 
 @register("sugar-static-system")
 class SugarStaticSystem(Zero123System):
     Config = SugarStaticConfig
 
+    # reference lambda names -> ours (accepted as aliases so reference
+    # experiment files map 1:1; reference configs/gs_to_sugar.yaml:161-163)
+    _LOSS_ALIASES = {
+        "lambda_sugar_density_reg": "lambda_density_regulation",
+        "lambda_sugar_sdf_normal_reg": "lambda_normal_regulation",
+    }
+
     def __init__(self, cfg=None, **kwargs):
         super().__init__(cfg, **kwargs)
         from ..utils.config import parse_structured
+        from ..utils.registry import find
 
+        for ref_name, ours in self._LOSS_ALIASES.items():
+            if ref_name in self.cfg.loss and ours not in self.cfg.loss:
+                self.cfg.loss[ours] = self.cfg.loss[ref_name]
+        sugar_dict = dict(self.cfg.sugar)
+        if self.cfg.n_samples_for_sugar_sdf_reg is not None:
+            sugar_dict.setdefault(
+                "n_samples_for_sdf_regularization",
+                self.cfg.n_samples_for_sugar_sdf_reg,
+            )
         self.sugar_cfg = parse_structured(
-            sugar_reg.SuGaRRegConfig, dict(self.cfg.sugar)
+            sugar_reg.SuGaRRegConfig, sugar_dict
         )
+        self.guidance_2d = (
+            find(self.cfg.guidance_2d_type)(self.cfg.guidance_2d)
+            if self.cfg.guidance_2d_type
+            else None
+        )
+        pp2 = (
+            find(self.cfg.prompt_processor_2d_type)(self.cfg.prompt_processor_2d)
+            if self.cfg.prompt_processor_2d_type
+            else None
+        )
+        self.prompt_utils_2d = pp2() if pp2 else None
         self._knn_idx = None
         self._knn_step = -(10 ** 9)
         if self.cfg.stage == "sugar":
             self._maybe_bind_mesh()
+
+    # -- optional 2D SDS -----------------------------------------------------
+    def _extra_sig(self, step: int) -> tuple:
+        if self.guidance_2d is None:
+            return (False, False)
+        freq = self.cfg.freq or {}
+        use_2d = step >= int(freq.get("milestone_2d_sds", 0))
+        every = max(int(freq.get("input_normal", 0)), 0)
+        use_normal = every > 0 and step % every == 0
+        return (use_2d, use_normal)
+
+    def _guidance_2d_losses(self, out_z, rcb, sched, key, logs, sig):
+        use_2d, use_normal = sig[8], sig[9]
+        if self.guidance_2d is None or not use_2d:
+            return jnp.float32(0.0)
+        inp = (
+            out_z["comp_normal"]
+            if use_normal and "comp_normal" in out_z
+            else out_z["comp_rgb"]
+        )
+        g2 = self.guidance_2d(
+            inp, self.prompt_utils_2d, rcb, key=key, sched=sched.get("guidance")
+        )
+        logs["train/loss_sds_2d"] = g2["loss_sds"]
+        return g2["loss_sds"] * self.loss_lambda(sched, "lambda_sds_2d")
 
     # -- gaussian-stage regularizers ---------------------------------------
     def _refresh_knn(self, state, step: int):
@@ -138,14 +199,6 @@ class SugarStaticSystem(Zero123System):
             return self._sugar_step_impl(sig, state, batch, key, sched)
         return super()._train_step_impl(sig, state, batch, key, sched)
 
-    def train_step(self, state, batch, step: int, key):
-        if self.cfg.stage == "gaussian" and (
-            self.has_loss("lambda_density_regulation")
-            or self.has_loss("lambda_normal_regulation")
-        ):
-            self._refresh_knn(state, step)
-        return super().train_step(state, batch, step, key)
-
     # -- sugar refinement stage ---------------------------------------------
     def _maybe_bind_mesh(self):
         src = self.cfg.geometry_convert_from or self.cfg.geometry.get(
@@ -194,7 +247,7 @@ class SugarStaticSystem(Zero123System):
         )
 
     def _sugar_step_impl(self, sig, state, batch, key, sched):
-        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig
+        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig[:8]
         sugar_state = state.gauss
         topo = self.geometry.topology
 
@@ -215,6 +268,12 @@ class SugarStaticSystem(Zero123System):
                 logs["train/loss_zero123_sds"] = guidance_out["loss_sds"]
                 total = total + guidance_out["loss_sds"] * self.loss_lambda(
                     sched, "lambda_sds"
+                )
+                # optional 2D SDS, stage-independent in the reference
+                # (sugar_static.py:231-244)
+                k, k_2d = jax.random.split(k)
+                total = total + self._guidance_2d_losses(
+                    out_z, rcb, sched, k_2d, logs, sig
                 )
                 out_stats = out_z
             if do_ref:
@@ -334,6 +393,14 @@ class SugarStaticSystem(Zero123System):
 
     def train_step(self, state, batch, step: int, key):
         if self.cfg.stage != "sugar":
+            # gaussian stage: the density/SDF regularizers track a host-side
+            # KNN table, refreshed every reset_neighbors_every steps
+            # (reference sugar_utils.py:232-254).  This was previously in a
+            # SHADOWED duplicate train_step definition and never ran.
+            if self.has_loss("lambda_density_regulation") or self.has_loss(
+                "lambda_normal_regulation"
+            ):
+                self._refresh_knn(state, step)
             return Zero123System.train_step(self, state, batch, step, key)
         dev_batch = to_device_batch(batch)
         sched = self.sched_scalars(step)
@@ -347,7 +414,7 @@ class SugarStaticSystem(Zero123System):
         else:
             bsrc, hrc, wrc = 0, 0, 0
             do_z = False
-        sig = (h, wd, bs, hrc, wrc, bsrc, do_ref, do_z)
+        sig = (h, wd, bs, hrc, wrc, bsrc, do_ref, do_z) + self._extra_sig(step)
         if sig not in self._train_jit:
             self._train_jit[sig] = jax.jit(partial(self._sugar_step_impl, sig))
         state, logs = self._train_jit[sig](state, dev_batch, key, sched)
