@@ -226,3 +226,83 @@ class TestGaussianStageSystem:
             "train/loss_sds_2d",
         ):
             assert k in logs and np.isfinite(float(logs[k])), k
+
+
+class TestTwoStageHandoff:
+    def test_gaussian_to_sugar_handoff_via_checkpoint(self, tmp_path):
+        """The full gs_to_sugar user flow: train the gaussian stage briefly,
+        save a checkpoint, then construct the sugar stage with
+        geometry_convert_from pointing at it -- the system must extract a
+        mesh from the saved Gaussians, bind it, and run a training step."""
+        import os
+
+        import jax.numpy as jnp
+
+        from threestudio_3dgs_tpu.data.image import (
+            SingleImageDataModule,
+            SingleImageDataModuleConfig,
+        )
+        from threestudio_3dgs_tpu.utils.ckpt import save_checkpoint
+        from threestudio_3dgs_tpu.utils.registry import find
+
+        data = SingleImageDataModule(
+            SingleImageDataModuleConfig(
+                height=32,
+                width=32,
+                random_camera={
+                    "height": 32,
+                    "width": 32,
+                    "batch_size": 1,
+                    "eval_height": 32,
+                    "eval_width": 32,
+                },
+            )
+        )
+        g_system = find("sugar-static-system")(
+            {
+                "stage": "gaussian",
+                "geometry_type": "gaussian-splatting",
+                "geometry": {
+                    "init_num_pts": 256,
+                    "max_num": 512,
+                    "capacity": 512,
+                    # dense-ish blob so mesh extraction finds a surface
+                    "opacity_init": 0.95,
+                },
+                "renderer_type": "diff-gaussian-rasterizer-advanced",
+                "renderer": {"tile_size": 16, "max_pairs": 16384, "impl": "jax"},
+                "guidance_type": "fake-sds-guidance",
+                "loss": {"lambda_sds": 0.1, "lambda_rgb": 500.0, "lambda_mask": 50.0},
+            }
+        )
+        state = g_system.init_state(0)
+        key = jax.random.PRNGKey(0)
+        for step in range(2):
+            batch = data.train_batch(step)
+            key, sub = jax.random.split(key)
+            state, _ = g_system.train_step(state, batch, step, sub)
+        ckpt = str(tmp_path / "last.ckpt.npz")
+        save_checkpoint(ckpt, state, 2)
+
+        s_system = find("sugar-static-system")(
+            {
+                "stage": "sugar",
+                "geometry_type": "sugar",
+                "geometry": {"n_gaussians_per_surface_triangle": 1},
+                "geometry_convert_from": ckpt,
+                "renderer_type": "diff-sugar-rasterizer-normal",
+                "renderer": {"tile_size": 16, "max_pairs": 32768, "impl": "jax"},
+                "guidance_type": "fake-mse-guidance",
+                "loss": {
+                    "lambda_sds": 0.1,
+                    "lambda_rgb": 500.0,
+                    "lambda_mask": 50.0,
+                    "lambda_normal_consistency": 1.0,
+                },
+            }
+        )
+        assert getattr(s_system.geometry, "_bound_mesh", None) is not None
+        s_state = s_system.init_state(0)
+        batch = data.train_batch(0)
+        s_state, logs = s_system.train_step(s_state, batch, 0, key)
+        assert np.isfinite(float(logs["train/loss_total"]))

@@ -205,7 +205,19 @@ class SugarStaticSystem(Zero123System):
             "geometry_convert_from", ""
         )
         if self._needs_binding() and src:
-            if src.endswith(".ply"):
+            if src.endswith(".ckpt.npz") or src.endswith(".npz"):
+                # gaussian-stage checkpoint (the natural gs_to_sugar handoff;
+                # reference geometry_convert_from accepts a .ckpt the same
+                # way, geometry/gaussian_base.py:297-347)
+                from ..models.mesh_extract import extract_mesh_from_gaussians
+                from ..utils.ckpt import load_checkpoint
+
+                prev_state, _ = load_checkpoint(src)
+                g_state = getattr(prev_state, "gauss", prev_state)
+                verts, faces = extract_mesh_from_gaussians(g_state)
+                if verts is not None:
+                    self.geometry.bind_mesh(verts, faces)
+            elif src.endswith(".ply"):
                 # extract a mesh from the gaussian-stage PLY and bind it
                 from ..models import ply_io
                 from ..models.gaussian_field import (
