@@ -21,6 +21,8 @@ from ..utils.registry import register
 
 @dataclasses.dataclass
 class NeuralEnvBackgroundConfig:
+    # only 'sigmoid' supported (what every reference config uses)
+    color_activation: str = "sigmoid"
     n_output_dims: int = 3
     sh_degree: int = 3  # dir_encoding degree (tcnn SphericalHarmonics deg 3)
     n_neurons: int = 16
