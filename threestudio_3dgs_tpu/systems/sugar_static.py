@@ -147,6 +147,19 @@ class SugarStaticSystem(Zero123System):
             logs["train/loss_opacity_binary"] = binary
             loss = loss + binary * self.loss_lambda(sched, "lambda_opacity_binary")
 
+        if out_ref is not None:
+            # reference applies the TV trio in both stages
+            # (sugar_static.py:315-331)
+            for lam, key_name, log_name in (
+                ("lambda_rgb_tv", "comp_rgb", "rgb_tv"),
+                ("lambda_depth_tv", "comp_depth", "depth_tv"),
+                ("lambda_normal_tv", "comp_normal", "normal_tv"),
+            ):
+                if self.has_loss(lam) and key_name in out_ref:
+                    v = tv_loss(out_ref[key_name])
+                    logs[f"train/loss_{log_name}"] = v
+                    loss = loss + v * self.loss_lambda(sched, lam)
+
         needs_density = self.has_loss("lambda_density_regulation")
         needs_normal = self.has_loss("lambda_normal_regulation")
         if (needs_density or needs_normal) and self._knn_idx is not None:
@@ -339,6 +352,18 @@ class SugarStaticSystem(Zero123System):
                 tv = tv_loss(out_stats["comp_rgb"])
                 logs["train/loss_tv"] = tv
                 total = total + tv * self.loss_lambda(sched, "lambda_tv_loss")
+            if out_stats is not None:
+                # reference TV names: rgb_tv / depth_tv / normal_tv
+                # (sugar_static.py:315-331)
+                for lam, key_name, log_name in (
+                    ("lambda_rgb_tv", "comp_rgb", "rgb_tv"),
+                    ("lambda_depth_tv", "comp_depth", "depth_tv"),
+                    ("lambda_normal_tv", "comp_normal", "normal_tv"),
+                ):
+                    if self.has_loss(lam) and key_name in out_stats:
+                        v = tv_loss(out_stats[key_name])
+                        logs[f"train/loss_{log_name}"] = v
+                        total = total + v * self.loss_lambda(sched, lam)
 
             logs["train/loss_total"] = total
             logs["n_faces"] = sugar_state.faces.shape[0]
