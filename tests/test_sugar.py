@@ -246,6 +246,10 @@ class TestSugar4DEndToEnd:
                 "renderer": {"tile_size": 16, "max_pairs": 32768, "impl": "jax"},
                 "guidance_zero123_type": "temporal-stable-zero123-guidance",
                 "guidance_zero123": {"num_frames": 4},
+                "guidance_2d_type": "fake-sds-guidance",
+                "guidance_2d": {"target_color": [0.5, 0.5, 0.5]},
+                "num_inter_frames": 3,
+                "freq": {"inter_frame_reg": 2, "milestone_inter_frame_reg": 0},
                 "loss": {
                     "lambda_sds_zero123": 0.1,
                     "lambda_rgb": 1000.0,
@@ -253,6 +257,8 @@ class TestSugar4DEndToEnd:
                     "lambda_normal_consistency": 0.1,
                     "lambda_laplacian_smoothing": 0.1,
                     "lambda_arap_reg_key_frame": 1.0,  # reference alias
+                    "lambda_arap_reg_inter_frame": 1.0,
+                    "lambda_sds_2d": 0.05,
                     "lambda_ref_xyz": 1.0,
                     "lambda_obj_centric": 0.1,
                     "lambda_rgb_tv": 1.0,
@@ -278,6 +284,8 @@ class TestSugar4DEndToEnd:
             "train/loss_normal_tv",
             "train/loss_normal_depth_consistency",
             "train/loss_arap_reg",
+            "train/loss_arap_reg_inter_frame",
+            "train/loss_interf_sds_2d",
             "train/loss_obj_centric",
         ):
             assert k in logs and np.isfinite(float(logs[k])), k

@@ -64,6 +64,12 @@ class Sugar4DGenSystem(Zero123System):
             if self.cfg.guidance_2d_type
             else None
         )
+        pp2 = (
+            find(self.cfg.prompt_processor_2d_type)(self.cfg.prompt_processor_2d)
+            if self.cfg.prompt_processor_2d_type
+            else None
+        )
+        self.prompt_utils_2d = pp2() if pp2 else None
         self._arap_weights = None
 
     def attach_video_frames(self, frames: np.ndarray):
@@ -126,6 +132,69 @@ class Sugar4DGenSystem(Zero123System):
             loss = loss + v * self.loss_lambda(
                 sched, "lambda_normal_depth_consistency"
             )
+        return loss
+
+    def _inter_frame_losses(self, ss, ep, batch, sched, key, logs, h, w):
+        """Dense inter-frame regularization (reference sugar_4dgen.py:348-410):
+        sample num_inter_frames timestamps in a random window of
+        length_inter_frames, apply (a) the 2D-diffusion SDS on renders of
+        those frames from the reference camera and (b) ARAP between the
+        canonical mesh and every sampled frame."""
+        loss = jnp.float32(0.0)
+        n_if = int(self.cfg.num_inter_frames)
+        length = float(self.cfg.length_inter_frames)
+        k1, k2, k3 = jax.random.split(key, 3)
+        start = jax.random.uniform(k1) * (1.0 - length)
+        ts = start + jnp.linspace(0.0, length, n_if)
+
+        deformation = ep.get("deformation")
+        f0 = batch["frame_indices"][0] if "frame_indices" in batch else 0
+
+        if self.has_loss("lambda_arap_reg_inter_frame") or self.has_loss(
+            "lambda_arap_reg"
+        ):
+            topo = self.geometry.topology
+            nbr_idx = jnp.asarray(topo.vert_nbr_idx)
+            nbr_mask = jnp.asarray(topo.vert_nbr_mask)
+
+            def one(t):
+                verts_t = self.geometry.timed_vertices(ss, t, f0, deformation)
+                return arap_energy(
+                    ss.params.points, verts_t, nbr_idx, nbr_mask,
+                    weights=self._arap_weights,
+                ) / ss.params.points.shape[0]
+
+            e = jnp.mean(jax.vmap(one)(ts))
+            logs["train/loss_arap_reg_inter_frame"] = e
+            lam = sched["lambdas"].get(
+                "lambda_arap_reg_inter_frame",
+                sched["lambdas"].get("lambda_arap_reg", jnp.float32(0.0)),
+            )
+            loss = loss + e * lam
+
+        if self.guidance_2d is not None and self.has_loss("lambda_sds_2d"):
+            c2w0 = batch["c2w"][:1]
+            batch_if = {
+                "c2w": jnp.tile(c2w0, (n_if, 1, 1)),
+                "fovy": jnp.tile(batch["fovy"][:1], (n_if,)),
+                "elevation": jnp.tile(batch["elevation"][:1], (n_if,))
+                if "elevation" in batch else jnp.zeros((n_if,)),
+                "azimuth": jnp.tile(batch["azimuth"][:1], (n_if,))
+                if "azimuth" in batch else jnp.zeros((n_if,)),
+                "camera_distances": jnp.tile(
+                    batch["camera_distances"][:1], (n_if,)
+                ) if "camera_distances" in batch else jnp.ones((n_if,)),
+                "timestamp": ts,
+                "height": h,
+                "width": w,
+            }
+            out_if = self._render(ss, ep, batch_if, h, w, k2, sched)
+            g2 = self.guidance_2d(
+                out_if["comp_rgb"], self.prompt_utils_2d, batch_if,
+                key=k3, sched=sched.get("guidance"),
+            )
+            logs["train/loss_interf_sds_2d"] = g2["loss_sds"]
+            loss = loss + g2["loss_sds"] * self.loss_lambda(sched, "lambda_sds_2d")
         return loss
 
     def _mesh_motion_losses(self, ss, ep, batch, sched, key, logs):
@@ -246,6 +315,11 @@ class Sugar4DGenSystem(Zero123System):
             total = total + self._mesh_motion_losses(
                 ss, ep, batch, sched, k_m, logs
             )
+            if sig[8]:  # inter-frame substep (reference :348-410)
+                k, k_if = jax.random.split(k)
+                total = total + self._inter_frame_losses(
+                    ss, ep, batch, sched, k_if, logs, h, w
+                )
             logs["train/loss_total"] = total
             return total, (out_stats, logs)
 
@@ -303,7 +377,14 @@ class Sugar4DGenSystem(Zero123System):
         else:
             bsrc, hrc, wrc = 0, 0, 0
             do_z = False
-        sig = (h, wd, bs, hrc, wrc, bsrc, do_ref, do_z)
+        freq = self.cfg.freq or {}
+        if_every = int(freq.get("inter_frame_reg", 0))
+        do_if = (
+            if_every > 0
+            and step % if_every == 0
+            and step >= int(freq.get("milestone_inter_frame_reg", 0))
+        )
+        sig = (h, wd, bs, hrc, wrc, bsrc, do_ref, do_z, do_if)
         if sig not in self._train_jit:
             self._train_jit[sig] = jax.jit(partial(self._train_step_impl, sig))
         state, logs = self._train_jit[sig](state, dev_batch, key, sched)
