@@ -220,3 +220,57 @@ class TestGs4dEndToEnd:
         assert knot_like and any(
             float(jnp.sum(jnp.abs(a))) > 0 for a in knot_like
         )
+
+
+class TestGs4dStaticStage:
+    def test_static_stage_density_reg_smoke(self, tmp_path):
+        """gs4d_static (driver ladder config): the static stage applies the
+        SuGaR surface regularizers (opacity binary + density regulation,
+        reference configs/gs4d_static.yaml:130-131) before the 4D motion
+        stage takes over."""
+        import os
+
+        from threestudio_3dgs_tpu.utils.config import load_config
+        from threestudio_3dgs_tpu.trainer import Trainer
+
+        cfg_path = os.path.join(os.path.dirname(CONFIG), "gs4d_static.yaml")
+        cfg = load_config(
+            cfg_path,
+            [
+                f"exp_root_dir={tmp_path}",
+                "data.image_path=''",  # synthetic fallback image
+                "trainer.max_steps=3",
+                "trainer.val_check_interval=1000",
+                "data.height=32",
+                "data.width=32",
+                "data.random_camera.height=32",
+                "data.random_camera.width=32",
+                "data.random_camera.batch_size=1",
+                "data.random_camera.eval_height=32",
+                "data.random_camera.eval_width=32",
+                "system.geometry.init_num_pts=128",
+                "system.geometry.max_num=512",
+                "system.geometry.capacity=640",
+                "system.renderer.tile_size=16",
+                "system.renderer.max_pairs=16384",
+                "system.renderer.impl=jax",
+                "system.guidance_type=fake-sds-guidance",
+                "system.guidance={target_color: [0.7, 0.3, 0.2]}",
+                "system.sugar.n_samples_for_sdf_regularization=1024",
+                # make the schedules active from step 0 at this tiny length
+                "system.loss.lambda_opacity_binary=0.1",
+                "system.loss.lambda_density_regulation=1.0",
+                "system.loss.lambda_normal_regulation=1.0",
+                "checkpoint.every_n_train_steps=100",
+            ],
+        )
+        trainer = Trainer(cfg)
+        trainer.fit()
+        row = trainer.metrics_log[-1]
+        for k in (
+            "train/loss_total",
+            "train/loss_opacity_binary",
+            "train/loss_density_regulation",
+            "train/loss_normal_regulation",
+        ):
+            assert k in row and np.isfinite(row[k]), (k, sorted(row))

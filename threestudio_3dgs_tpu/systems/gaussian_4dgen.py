@@ -55,8 +55,11 @@ class Gaussian4DGenConfig(Zero123SystemConfig):
     sugar: dict = dataclasses.field(default_factory=dict)
 
 
+from .sugar_static import GaussianStageRegMixin
+
+
 @register("gaussian-splatting-4dgen-system")
-class Gaussian4DGenSystem(Zero123System):
+class Gaussian4DGenSystem(GaussianStageRegMixin, Zero123System):
     Config = Gaussian4DGenConfig
 
     def __init__(self, cfg=None, **kwargs):
@@ -75,13 +78,16 @@ class Gaussian4DGenSystem(Zero123System):
         self._arap_nbrs: Optional[jnp.ndarray] = None
         self._arap_step = -(10 ** 9)
         self.arap_k = int(self.cfg.freq.get("arap_k", 8))
+        # SuGaR-style static-stage surface regularizers (reference
+        # configs/gs4d_static.yaml:130-131,144-151)
+        self._init_sugar_stage(dict(self.cfg.sugar))
         # feed the conditioning video frames to the temporal guidance
         if hasattr(self.guidance, "prepare_embeddings"):
             self._guidance_prepared = False
 
     def init_state(self, seed: int = 0) -> SystemState:
         state = super().init_state(seed)
-        if self.geometry.cfg.enable_deformation:
+        if getattr(self.geometry.cfg, "enable_deformation", False):
             key = jax.random.PRNGKey(seed + 1)
             extra = dict(state.extra_params)
             extra["deformation"] = self.geometry.init_deformation(key)
@@ -188,6 +194,10 @@ class Gaussian4DGenSystem(Zero123System):
                     out_ref["comp_rgb"] * batch["mask"],
                     batch["rgb"] * batch["mask"],
                 )
+                k, k_x = jax.random.split(k)
+                loss_ref = loss_ref + self.extra_substep_losses(
+                    gs, batch, sched, k_x, logs, out_ref
+                )
                 total = total + loss_ref
                 out_stats = out_ref
             if self.cfg.stage == "motion":
@@ -247,6 +257,11 @@ class Gaussian4DGenSystem(Zero123System):
             else None,
         )
 
+    def extra_substep_losses(self, gs, batch, sched, key, logs, out_ref):
+        if self.cfg.stage == "static":
+            return self._gaussian_stage_losses(gs, batch, sched, key, logs, out_ref)
+        return jnp.float32(0.0)
+
     def train_step(self, state, batch, step: int, key):
         if not getattr(self, "_guidance_prepared", True):
             # one-time conditioning setup from the data module's video frames
@@ -255,6 +270,11 @@ class Gaussian4DGenSystem(Zero123System):
             self.has_loss("lambda_lite_arap_reg")
         ):
             self._refresh_arap(state, step)
+        if self.cfg.stage == "static" and (
+            self.has_loss("lambda_density_regulation")
+            or self.has_loss("lambda_normal_regulation")
+        ):
+            self._refresh_knn(state, step)
         return super().train_step(state, batch, step, key)
 
     def attach_video_frames(self, frames: np.ndarray):

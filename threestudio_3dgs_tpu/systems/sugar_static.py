@@ -48,76 +48,19 @@ class SugarStaticConfig(Zero123SystemConfig):
     n_samples_for_sugar_sdf_reg: Optional[int] = None  # reference alias
 
 
-@register("sugar-static-system")
-class SugarStaticSystem(Zero123System):
-    Config = SugarStaticConfig
+class GaussianStageRegMixin:
+    """SuGaR's free-Gaussian surface regularizers (opacity binary CE +
+    density regulation + SDF better-normal), shared by the sugar-static
+    gaussian stage and the 4dgen static stage (reference sugar_static.py
+    :258-283 and configs/gs4d_static.yaml:130-131)."""
 
-    # reference lambda names -> ours (accepted as aliases so reference
-    # experiment files map 1:1; reference configs/gs_to_sugar.yaml:161-163)
-    _LOSS_ALIASES = {
-        "lambda_sugar_density_reg": "lambda_density_regulation",
-        "lambda_sugar_sdf_normal_reg": "lambda_normal_regulation",
-    }
-
-    def __init__(self, cfg=None, **kwargs):
-        super().__init__(cfg, **kwargs)
+    def _init_sugar_stage(self, sugar_dict):
         from ..utils.config import parse_structured
-        from ..utils.registry import find
 
-        for ref_name, ours in self._LOSS_ALIASES.items():
-            if ref_name in self.cfg.loss and ours not in self.cfg.loss:
-                self.cfg.loss[ours] = self.cfg.loss[ref_name]
-        sugar_dict = dict(self.cfg.sugar)
-        if self.cfg.n_samples_for_sugar_sdf_reg is not None:
-            sugar_dict.setdefault(
-                "n_samples_for_sdf_regularization",
-                self.cfg.n_samples_for_sugar_sdf_reg,
-            )
-        self.sugar_cfg = parse_structured(
-            sugar_reg.SuGaRRegConfig, sugar_dict
-        )
-        self.guidance_2d = (
-            find(self.cfg.guidance_2d_type)(self.cfg.guidance_2d)
-            if self.cfg.guidance_2d_type
-            else None
-        )
-        pp2 = (
-            find(self.cfg.prompt_processor_2d_type)(self.cfg.prompt_processor_2d)
-            if self.cfg.prompt_processor_2d_type
-            else None
-        )
-        self.prompt_utils_2d = pp2() if pp2 else None
+        self.sugar_cfg = parse_structured(sugar_reg.SuGaRRegConfig, sugar_dict)
         self._knn_idx = None
         self._knn_step = -(10 ** 9)
-        if self.cfg.stage == "sugar":
-            self._maybe_bind_mesh()
 
-    # -- optional 2D SDS -----------------------------------------------------
-    def _extra_sig(self, step: int) -> tuple:
-        if self.guidance_2d is None:
-            return (False, False)
-        freq = self.cfg.freq or {}
-        use_2d = step >= int(freq.get("milestone_2d_sds", 0))
-        every = max(int(freq.get("input_normal", 0)), 0)
-        use_normal = every > 0 and step % every == 0
-        return (use_2d, use_normal)
-
-    def _guidance_2d_losses(self, out_z, rcb, sched, key, logs, sig):
-        use_2d, use_normal = sig[8], sig[9]
-        if self.guidance_2d is None or not use_2d:
-            return jnp.float32(0.0)
-        inp = (
-            out_z["comp_normal"]
-            if use_normal and "comp_normal" in out_z
-            else out_z["comp_rgb"]
-        )
-        g2 = self.guidance_2d(
-            inp, self.prompt_utils_2d, rcb, key=key, sched=sched.get("guidance")
-        )
-        logs["train/loss_sds_2d"] = g2["loss_sds"]
-        return g2["loss_sds"] * self.loss_lambda(sched, "lambda_sds_2d")
-
-    # -- gaussian-stage regularizers ---------------------------------------
     def _refresh_knn(self, state, step: int):
         if (
             self._knn_idx is not None
@@ -201,6 +144,72 @@ class SugarStaticSystem(Zero123System):
                     sched, "lambda_normal_regulation"
                 )
         return loss
+
+
+@register("sugar-static-system")
+class SugarStaticSystem(GaussianStageRegMixin, Zero123System):
+    Config = SugarStaticConfig
+
+    # reference lambda names -> ours (accepted as aliases so reference
+    # experiment files map 1:1; reference configs/gs_to_sugar.yaml:161-163)
+    _LOSS_ALIASES = {
+        "lambda_sugar_density_reg": "lambda_density_regulation",
+        "lambda_sugar_sdf_normal_reg": "lambda_normal_regulation",
+    }
+
+    def __init__(self, cfg=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        from ..utils.config import parse_structured
+        from ..utils.registry import find
+
+        for ref_name, ours in self._LOSS_ALIASES.items():
+            if ref_name in self.cfg.loss and ours not in self.cfg.loss:
+                self.cfg.loss[ours] = self.cfg.loss[ref_name]
+        sugar_dict = dict(self.cfg.sugar)
+        if self.cfg.n_samples_for_sugar_sdf_reg is not None:
+            sugar_dict.setdefault(
+                "n_samples_for_sdf_regularization",
+                self.cfg.n_samples_for_sugar_sdf_reg,
+            )
+        self._init_sugar_stage(sugar_dict)
+        self.guidance_2d = (
+            find(self.cfg.guidance_2d_type)(self.cfg.guidance_2d)
+            if self.cfg.guidance_2d_type
+            else None
+        )
+        pp2 = (
+            find(self.cfg.prompt_processor_2d_type)(self.cfg.prompt_processor_2d)
+            if self.cfg.prompt_processor_2d_type
+            else None
+        )
+        self.prompt_utils_2d = pp2() if pp2 else None
+        if self.cfg.stage == "sugar":
+            self._maybe_bind_mesh()
+
+    # -- optional 2D SDS -----------------------------------------------------
+    def _extra_sig(self, step: int) -> tuple:
+        if self.guidance_2d is None:
+            return (False, False)
+        freq = self.cfg.freq or {}
+        use_2d = step >= int(freq.get("milestone_2d_sds", 0))
+        every = max(int(freq.get("input_normal", 0)), 0)
+        use_normal = every > 0 and step % every == 0
+        return (use_2d, use_normal)
+
+    def _guidance_2d_losses(self, out_z, rcb, sched, key, logs, sig):
+        use_2d, use_normal = sig[8], sig[9]
+        if self.guidance_2d is None or not use_2d:
+            return jnp.float32(0.0)
+        inp = (
+            out_z["comp_normal"]
+            if use_normal and "comp_normal" in out_z
+            else out_z["comp_rgb"]
+        )
+        g2 = self.guidance_2d(
+            inp, self.prompt_utils_2d, rcb, key=key, sched=sched.get("guidance")
+        )
+        logs["train/loss_sds_2d"] = g2["loss_sds"]
+        return g2["loss_sds"] * self.loss_lambda(sched, "lambda_sds_2d")
 
     def extra_substep_losses(self, gs, batch, sched, key, logs, out_ref):
         if self.cfg.stage == "gaussian":
