@@ -163,6 +163,12 @@ class TestGs4dEndToEnd:
                 "system.renderer.max_pairs=32768",
                 "system.renderer.impl=jax",
                 "system.freq.update_arap=2",
+                "system.freq.inter_frame_reg=2",
+                "system.freq.milestone_inter_frame_reg=0",
+                "system.num_inter_frames=3",
+                "system.guidance_2d_type=fake-sds-guidance",
+                "system.guidance_2d={target_color: [0.5, 0.5, 0.5]}",
+                "system.loss.lambda_sds_2d=0.05",
                 "system.loss.lambda_lite_arap_reg=1.0",
                 "system.loss.lambda_ref_gs=1.0",
                 "checkpoint.every_n_train_steps=100",
@@ -173,6 +179,12 @@ class TestGs4dEndToEnd:
         assert len(trainer.metrics_log) > 0
         for row in trainer.metrics_log:
             assert np.isfinite(row["train/loss_total"]), row
+        # the inter-frame substep fired (every 2 steps) with finite losses
+        interf_rows = [
+            r for r in trainer.metrics_log if "train/loss_interf_sds_2d" in r
+        ]
+        assert interf_rows, sorted(trainer.metrics_log[-1])
+        assert all(np.isfinite(r["train/loss_interf_sds_2d"]) for r in interf_rows)
         # dynamic deltas received gradient updates
         assert float(jnp.sum(jnp.abs(state.gauss.params.delta_xyz))) > 0
 

@@ -75,6 +75,12 @@ class Gaussian4DGenSystem(GaussianStageRegMixin, Zero123System):
             if self.cfg.guidance_2d_type
             else None
         )
+        pp2 = (
+            find(self.cfg.prompt_processor_2d_type)(self.cfg.prompt_processor_2d)
+            if self.cfg.prompt_processor_2d_type
+            else None
+        )
+        self.prompt_utils_2d = pp2() if pp2 else None
         self._arap_nbrs: Optional[jnp.ndarray] = None
         self._arap_step = -(10 ** 9)
         self.arap_k = int(self.cfg.freq.get("arap_k", 8))
@@ -153,9 +159,66 @@ class Gaussian4DGenSystem(GaussianStageRegMixin, Zero123System):
             loss = loss + e * self.loss_lambda(sched, "lambda_lite_arap_reg")
         return loss
 
+    def _inter_frame_losses(self, gs, ep, batch, sched, key, logs, h, w):
+        """Dense inter-frame substep (commented reference spec
+        gaussian_4dgen.py:394-435): sample num_inter_frames timestamps in a
+        random window and apply the 2D-diffusion SDS to their renders from
+        the reference camera, plus lite ARAP against the first frame."""
+        loss = jnp.float32(0.0)
+        n_if = int(self.cfg.num_inter_frames)
+        length = float(self.cfg.length_inter_frames)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        start = jax.random.uniform(k1) * (1.0 - length)
+        ts = start + jnp.linspace(0.0, length, n_if)
+        deformation = ep.get("deformation")
+        f0 = batch["frame_indices"][0] if "frame_indices" in batch else 0
+
+        if self.has_loss("lambda_lite_arap_reg") and self._arap_nbrs is not None:
+            alive_f = gs.alive.astype(jnp.float32)
+            n_alive = jnp.maximum(jnp.sum(alive_f), 1.0)
+            xyz_0, _, _, _, _ = self.geometry.get_timed_all(
+                gs, ts[0], f0, deformation
+            )
+            mask = alive_f[:, None] * alive_f[self._arap_nbrs]
+
+            def one(t):
+                xyz_t, _, _, _, _ = self.geometry.get_timed_all(
+                    gs, t, f0, deformation
+                )
+                return arap_energy_knn(
+                    jax.lax.stop_gradient(xyz_0), xyz_t, self._arap_nbrs, mask
+                ) / n_alive
+
+            e = jnp.mean(jax.vmap(one)(ts[1:]))
+            logs["train/loss_interf_lite_arap"] = e
+            loss = loss + e * self.loss_lambda(sched, "lambda_lite_arap_reg")
+
+        if self.guidance_2d is not None and self.has_loss("lambda_sds_2d"):
+            c2w0 = batch["c2w"][:1]
+            batch_if = {
+                "c2w": jnp.tile(c2w0, (n_if, 1, 1)),
+                "fovy": jnp.tile(batch["fovy"][:1], (n_if,)),
+                "timestamp": ts,
+                "height": h,
+                "width": w,
+            }
+            for extra_key in ("elevation", "azimuth", "camera_distances"):
+                if extra_key in batch:
+                    batch_if[extra_key] = jnp.tile(batch[extra_key][:1], (n_if,))
+            out_if = self.render_batch(
+                gs, ep, batch_if, h, w, k2, sched, True
+            )
+            g2 = self.guidance_2d(
+                out_if["comp_rgb"], self.prompt_utils_2d, batch_if,
+                key=k3, sched=sched.get("guidance"),
+            )
+            logs["train/loss_interf_sds_2d"] = g2["loss_sds"]
+            loss = loss + g2["loss_sds"] * self.loss_lambda(sched, "lambda_sds_2d")
+        return loss
+
     # -- train step override --------------------------------------------------
     def _train_step_impl(self, sig, state, batch, key, sched):
-        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig
+        (h, w, bs, hrc, wrc, bsrc, do_ref, do_z) = sig[:8]
         cap = state.gauss.capacity
         b_stats = bs if do_ref else bsrc
         vs_dummy = jnp.zeros((b_stats, cap, 2))
@@ -200,6 +263,11 @@ class Gaussian4DGenSystem(GaussianStageRegMixin, Zero123System):
                 )
                 total = total + loss_ref
                 out_stats = out_ref
+            if self.cfg.stage == "motion" and len(sig) > 8 and sig[8]:
+                k, k_if = jax.random.split(k)
+                total = total + self._inter_frame_losses(
+                    gs, ep, batch, sched, k_if, logs, h, w
+                )
             if self.cfg.stage == "motion":
                 k, k_m = jax.random.split(k)
                 total = total + self._motion_regularizers(
@@ -276,6 +344,17 @@ class Gaussian4DGenSystem(GaussianStageRegMixin, Zero123System):
         ):
             self._refresh_knn(state, step)
         return super().train_step(state, batch, step, key)
+
+    def _extra_sig(self, step: int) -> tuple:
+        freq = self.cfg.freq or {}
+        if_every = int(freq.get("inter_frame_reg", 0))
+        do_if = (
+            self.cfg.stage == "motion"
+            and if_every > 0
+            and step % if_every == 0
+            and step >= int(freq.get("milestone_inter_frame_reg", 0))
+        )
+        return (do_if,)
 
     def attach_video_frames(self, frames: np.ndarray):
         if hasattr(self.guidance, "prepare_embeddings"):
