@@ -40,6 +40,9 @@ class Trainer:
         self.log_every = int(cfg.trainer.get("log_every_n_steps", 10))
         ckpt_cfg = cfg.checkpoint or {}
         self.ckpt_every = ckpt_cfg.get("every_n_train_steps", None)
+        # save_top_k == -1 (the reference default): keep every interval
+        # checkpoint as epoch=N-step=N.ckpt, not just last.ckpt
+        self.ckpt_keep_all = int(ckpt_cfg.get("save_top_k", 0) or 0) == -1
         self.save_dir = cfg.trial_dir or "outputs/debug"
         os.makedirs(self.save_dir, exist_ok=True)
         self.state = None
@@ -174,6 +177,8 @@ class Trainer:
             if self.val_interval and self.step % int(self.val_interval) == 0:
                 self.validate()
             if self.ckpt_every and self.step % int(self.ckpt_every) == 0:
+                if self.ckpt_keep_all:
+                    self.save_ckpt(f"step{self.step}.ckpt.npz")
                 self.save_ckpt("last.ckpt.npz")
 
         self.save_ckpt("last.ckpt.npz")
