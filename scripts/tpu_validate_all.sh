@@ -1,0 +1,32 @@
+#!/bin/bash
+# One-shot hardware validation after the axon tunnel returns.
+# Runs the full /verify recipe + perf measurements, logging everything to
+# /tmp/tpu_validation_<ts>.log.  Each step under `timeout`, never pkill.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+TS=$(date +%Y%m%d-%H%M%S)
+LOG=/tmp/tpu_validation_$TS.log
+echo "log -> $LOG"
+{
+  echo "=== tunnel check ==="
+  timeout 300 python -c "import jax; print(jax.devices())" || exit 1
+
+  echo "=== bench.py (headline metric) ==="
+  timeout 580 python bench.py
+
+  echo "=== training drive (30 steps, 256^2, fake guidance) ==="
+  timeout 560 python -m threestudio_3dgs_tpu.launch \
+    --config threestudio_3dgs_tpu/configs/gaussian_splatting.yaml --train \
+    trainer.max_steps=30 trainer.val_check_interval=30 \
+    data.height=256 data.width=256 data.batch_size=2 \
+    system.guidance_type=fake-sds-guidance exp_root_dir=/tmp/verify_run
+
+  echo "=== batched-vs-loop profile (training scale) ==="
+  timeout 580 python scripts/profile_batched.py --n 100000 --b 4 --res 256
+
+  echo "=== pallas-vs-fallback parity probe ==="
+  timeout 580 python scripts/check_bin_fused.py 2>/dev/null || \
+    echo "(probe script optional)"
+} 2>&1 | tee "$LOG"
+echo "DONE -> $LOG"
