@@ -188,6 +188,46 @@ class TestGs4dEndToEnd:
         # dynamic deltas received gradient updates
         assert float(jnp.sum(jnp.abs(state.gauss.params.delta_xyz))) > 0
 
+    def test_motion_config_smoke(self, tmp_path):
+        """gs4d_motion trains the POLYNOMIAL spacetime motion (reference
+        configs/gs4d_motion.yaml:69-80: move/omega/trbf LRs) -- the motion
+        coefficients must receive gradient updates through the Trainer."""
+        import os
+
+        from threestudio_3dgs_tpu.utils.config import load_config
+        from threestudio_3dgs_tpu.trainer import Trainer
+
+        cfg = load_config(
+            os.path.join(os.path.dirname(CONFIG), "gs4d_motion.yaml"),
+            [
+                f"exp_root_dir={tmp_path}",
+                "trainer.max_steps=3",
+                "trainer.val_check_interval=1000",
+                "data.height=32",
+                "data.width=32",
+                "data.video_length=4",
+                "data.num_frames=3",
+                "data.random_camera.height=32",
+                "data.random_camera.width=32",
+                "data.random_camera.batch_size=1",
+                "system.geometry.init_num_pts=128",
+                "system.geometry.max_num=512",
+                "system.geometry.capacity=640",
+                "system.geometry.num_frames=5",
+                "system.renderer.tile_size=16",
+                "system.renderer.max_pairs=32768",
+                "system.renderer.impl=jax",
+                "checkpoint.every_n_train_steps=100",
+            ],
+        )
+        trainer = Trainer(cfg)
+        state = trainer.fit()
+        for row in trainer.metrics_log:
+            assert np.isfinite(row["train/loss_total"]), row
+        p_ = state.gauss.params
+        assert p_.motion is not None and p_.motion.size
+        assert float(jnp.sum(jnp.abs(p_.motion))) > 0  # polynomial motion moved
+
     def test_spline_smoke(self, tmp_path):
         """The SE(3)-spline motion config (driver config ladder item 5:
         gs4d_spline at multiple timesteps) runs through the Trainer."""
