@@ -151,3 +151,100 @@ def test_adaptive_pair_capacity(tmp_path):
         assert sys_._capacity > cap_before
     finally:
         BaseSystem._ADAPT_EVERY = old_every
+
+
+COMMON_SMALL = [
+    "trainer.max_steps=3",
+    "trainer.val_check_interval=1000",
+    "data.width=32",
+    "data.height=32",
+    "system.geometry.init_num_pts=128",
+    "system.geometry.max_num=512",
+    "system.geometry.capacity=512",
+    "system.geometry.densify_from_iter=100000",
+    "system.geometry.prune_from_iter=100000",
+    "system.renderer.tile_size=16",
+    "system.renderer.max_pairs=32768",
+    "system.renderer.impl=jax",
+    "system.guidance_type=fake-sds-guidance",
+    "system.guidance={target_color: [0.8, 0.2, 0.2]}",
+    "checkpoint.every_n_train_steps=100",
+]
+
+
+@pytest.mark.parametrize(
+    "config_name,extra",
+    [
+        (
+            "gaussian_splatting_background.yaml",
+            ["data.batch_size=2", "data.eval_height=32", "data.eval_width=32",
+             "data.n_val_views=1", "data.resolution_milestones=[]"],
+        ),
+        (
+            "gaussian_splatting_shading.yaml",
+            ["data.batch_size=2", "data.eval_height=32", "data.eval_width=32",
+             "data.n_val_views=1", "data.resolution_milestones=[]",
+             "system.material.ambient_only_steps=1"],
+        ),
+        (
+            "gaussian_splatting_mvdream.yaml",
+            ["data.batch_size=[4,4]", "data.eval_height=32",
+             "data.eval_width=32", "data.resolution_milestones=[1]",
+             "data.width=[32,32]", "data.height=[32,32]"],
+        ),
+        (
+            "gaussian_splatting_zero123.yaml",
+            ["data.image_path=''", "data.random_camera.height=32",
+             "data.random_camera.width=32", "data.random_camera.batch_size=1",
+             "data.random_camera.eval_height=32",
+             "data.random_camera.eval_width=32"],
+        ),
+    ],
+)
+def test_config_family_smoke(tmp_path, config_name, extra):
+    """Every text/image-to-3D config family trains through the Trainer with
+    fake guidance (level-3 smoke per SURVEY.md section 4)."""
+    cfg_path = os.path.join(os.path.dirname(CONFIG), config_name)
+    cfg = load_config(
+        cfg_path,
+        COMMON_SMALL + list(extra) + [f"exp_root_dir={tmp_path}"],
+    )
+    trainer = Trainer(cfg)
+    trainer.fit()
+    assert trainer.step == 3
+    for row in trainer.metrics_log:
+        assert np.isfinite(row["train/loss_total"]), row
+
+
+def test_cli_launch_train_and_export(tmp_path):
+    """The launch CLI end-to-end as a subprocess: --train then --export."""
+    import subprocess
+    import sys
+
+    overrides = COMMON_SMALL + [
+        "data.batch_size=1",
+        "data.eval_height=32",
+        "data.eval_width=32",
+        "data.n_val_views=1",
+        "data.n_test_views=2",
+        f"exp_root_dir={tmp_path}",
+    ]
+    # force the CPU backend: the axon TPU plugin ignores JAX_PLATFORMS=cpu
+    # (PERF.md pitfalls), so strip its site dir from the subprocess path
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+         if p and "axon" not in p]
+        + [os.path.join(os.path.dirname(__file__), "..")]
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "threestudio_3dgs_tpu.launch",
+         "--config", CONFIG, "--train", "--export"] + overrides,
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "checkpoint ->" in r.stdout
+    assert "test renders ->" in r.stdout
+    assert "export ->" in r.stdout

@@ -54,6 +54,29 @@ def C(value: Any, epoch: int, global_step: int, interpolation: str = "linear") -
         value = list(value)
         if len(value) == 3:
             value = [0] + value
+        if len(value) > 4:
+            # multi-segment schedule [t0, v0, v1, t1, v2, t2, ...]: piecewise
+            # linear through knots (t0,v0),(t1,v1),(t2,v2)... (the reference's
+            # color_clip uses this form, configs/gaussian_splatting_mvdream
+            # .yaml:49: [0, 0.01, 0.02, 1500, 0.5, 4000, 1.0, 7000])
+            if len(value) % 2 != 0:
+                raise ValueError(f"multi-segment schedule needs even length, got {value}")
+            knots = [(value[0], value[1])]
+            for i in range(2, len(value), 2):
+                knots.append((value[i + 1], value[i]))
+            current = epoch if isinstance(knots[-1][0], float) else global_step
+            if current <= knots[0][0]:
+                return float(knots[0][1])
+            for (t0, v0), (t1, v1) in zip(knots[:-1], knots[1:]):
+                if current < t1:
+                    tt = (current - t0) / max(t1 - t0, 1e-8)
+                    if interpolation == "exp":
+                        return math.exp(
+                            math.log(max(v0, 1e-30)) * (1 - tt)
+                            + math.log(max(v1, 1e-30)) * tt
+                        )
+                    return v0 + (v1 - v0) * tt
+            return float(knots[-1][1])
         if len(value) != 4:
             raise ValueError(f"scheduled value must have 3 or 4 entries, got {value}")
         start_step, start_value, end_value, end_step = value
@@ -81,6 +104,8 @@ def C_max(value: Any) -> float:
         v = list(value)
         if len(v) == 3:
             v = [0] + v
+        if len(v) > 4:  # multi-segment [t0, v0, v1, t1, v2, t2, ...]
+            return float(max([v[1]] + v[2::2]))
         _, start_value, end_value, _ = v
         return float(max(start_value, end_value))
     raise TypeError(f"cannot take C_max of {value!r}")
