@@ -67,6 +67,25 @@ class TestDataParallel:
         # adam first step is +-lr, identical magnitude on both paths
         np.testing.assert_allclose(d_dp, d_single, rtol=0.2)
 
+    def test_dp_local_batch_gt1_uses_batched_renderer(self):
+        """local_bs = 2 per device: the single-pass batched rasterization
+        runs INSIDE shard_map (views stacked as tile rows on each device)."""
+        bs = 16  # 8 devices x 2 views
+        system, batch = build_system(bs)
+        state = system.init_state(0)
+        key = jax.random.PRNGKey(1)
+        sched = system.sched_scalars(0)
+
+        mesh = make_mesh(8)
+        step = make_dp_train_step(system, mesh, 32, 32, bs)
+        dev_batch = shard_batch(mesh, to_device_batch(batch))
+        s_dp, logs = step(state, dev_batch, key, sched)
+        assert np.isfinite(float(logs["train/loss_total"]))
+        d = np.abs(
+            np.asarray(s_dp.gauss.params.xyz) - np.asarray(state.gauss.params.xyz)
+        ).max()
+        assert d > 0
+
     def test_dp_grad_determinism(self):
         bs = 8
         system, batch = build_system(bs)
