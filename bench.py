@@ -22,9 +22,36 @@ import numpy as np
 BASELINE_PIX_PER_SEC = 26_000_000.0  # ~100 fps fwd+bwd @ 512^2 (CUDA 3DGS class)
 
 
+def _backend_watchdog(seconds: float = 240.0):
+    """Fail fast (clean JSON error on stdout) if backend init hangs — the
+    axon tunnel, when down, blocks jax.devices() indefinitely."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "pixels_per_sec_per_chip_fwd_bwd_1M_512",
+                "value": 0,
+                "unit": "pixels/s",
+                "vs_baseline": 0,
+                "error": f"backend init exceeded {seconds:.0f}s (tunnel down?)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
+    _init_done = _backend_watchdog()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    _init_done.set()
 
     from threestudio_3dgs_tpu.ops import camera as cam_mod
     from threestudio_3dgs_tpu.ops.rasterizer import RasterizeConfig, rasterize
