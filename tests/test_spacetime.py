@@ -326,3 +326,36 @@ class TestGs4dStaticStage:
             "train/loss_normal_regulation",
         ):
             assert k in row and np.isfinite(row[k]), (k, sorted(row))
+
+
+class TestTemporalPlySidecar:
+    def test_temporal_ply_roundtrip(self, tmp_path):
+        """save_ply writes the reference's temporal attribute schema
+        (motion_i / omega_i / trbf_* / delta_*_t{i}, reference
+        spacetime_gaussian.py:880-1117) in the sidecar; values round-trip."""
+        field = small_field(enable_spacetime=True, enable_dynamic=True)
+        state = field.init_state(0)
+        p = state.params
+        alive = np.asarray(state.alive)
+        path = str(tmp_path / "cloud.ply")
+        field.save_ply(state, path)
+        import os
+
+        assert os.path.exists(path)
+        side = path + ".temporal.npz"
+        assert os.path.exists(side)
+        cols = field.load_extra(side)
+        m = np.asarray(p.motion)[alive]
+        np.testing.assert_allclose(cols["motion_0"], m[:, 0], rtol=1e-6)
+        np.testing.assert_allclose(
+            cols["trbf_center"], np.asarray(p.trbf_center)[alive, 0], rtol=1e-6
+        )
+        d = np.asarray(p.delta_xyz)[alive]
+        np.testing.assert_allclose(cols["delta_xyz_t0_x"], d[:, 0, 0], rtol=1e-6)
+        # the base PLY itself loads back with matching xyz
+        from threestudio_3dgs_tpu.models import ply_io
+
+        data = ply_io.load_gaussian_ply(path, sh_degree=0)
+        np.testing.assert_allclose(
+            data["xyz"], np.asarray(p.xyz)[alive], rtol=1e-6
+        )
