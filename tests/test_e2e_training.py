@@ -199,6 +199,20 @@ COMMON_SMALL = [
              "data.random_camera.eval_height=32",
              "data.random_camera.eval_width=32"],
         ),
+        (
+            # regression: freq.milestone_sugar_reg interpolation + the sugar
+            # block placement once made this config crash on step 1
+            "gs_to_sugar.yaml",
+            ["data.image_path=''",
+             "data.height=[32,32,32]", "data.width=[32,32,32]",
+             "data.random_camera.height=[32,32]",
+             "data.random_camera.width=[32,32]",
+             "data.random_camera.batch_size=1",
+             "data.random_camera.eval_height=32",
+             "data.random_camera.eval_width=32",
+             "system.n_samples_for_sugar_sdf_reg=512",
+             "system.sugar.n_samples_for_sdf_regularization=512"],
+        ),
     ],
 )
 def test_config_family_smoke(tmp_path, config_name, extra):

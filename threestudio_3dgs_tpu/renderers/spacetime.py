@@ -76,13 +76,7 @@ class DiffGaussianRasterizerSpacetime(GaussianRendererBase):
         cfg = self.cfg
         geo = self.geometry
 
-        base_bg = jnp.asarray(cfg.back_ground_color, jnp.float32)
-        if training and key is not None:
-            key, sub = jax.random.split(key)
-            invert = jax.random.uniform(sub) > cfg.invert_bg_prob
-            kernel_bg = jnp.where(invert, 1.0 - base_bg, base_bg)
-        else:
-            kernel_bg = 1.0 - base_bg
+        kernel_bg, key = self._kernel_bg(key, training)
 
         timestamp = camera.timestamp if camera.timestamp is not None else 0.0
         frame_idx = camera.frame_idx if camera.frame_idx is not None else 0

@@ -144,6 +144,26 @@ class BaseGaussianSystem:
     def loss_lambda(self, sched, name: str):
         return sched["lambdas"].get(name, jnp.float32(0.0))
 
+    def tv_trio_losses(self, out, sched, logs, loss=None):
+        """rgb/depth/normal total-variation regularizers under the
+        reference's lambda names (sugar_static.py:315-331); shared by the
+        sugar stages and the 4dgen systems."""
+        import jax.numpy as jnp
+
+        from ..utils.loss import tv_loss
+
+        total = jnp.float32(0.0) if loss is None else loss
+        for lam, key_name, log_name in (
+            ("lambda_rgb_tv", "comp_rgb", "rgb_tv"),
+            ("lambda_depth_tv", "comp_depth", "depth_tv"),
+            ("lambda_normal_tv", "comp_normal", "normal_tv"),
+        ):
+            if self.has_loss(lam) and key_name in out:
+                v = tv_loss(out[key_name])
+                logs[f"train/loss_{log_name}"] = v
+                total = total + v * self.loss_lambda(sched, lam)
+        return total
+
     def has_loss(self, name: str) -> bool:
         """Static check: could this lambda ever be > 0 (avoids dead graph)."""
         from ..utils.config import C_max

@@ -107,19 +107,7 @@ class Sugar4DGenSystem(Zero123System):
         and the normal vs depth-derived-normal MSE."""
         from ..utils.loss import tv_loss
 
-        loss = jnp.float32(0.0)
-        if self.has_loss("lambda_rgb_tv"):
-            v = tv_loss(out["comp_rgb"])
-            logs["train/loss_rgb_tv"] = v
-            loss = loss + v * self.loss_lambda(sched, "lambda_rgb_tv")
-        if self.has_loss("lambda_depth_tv") and "comp_depth" in out:
-            v = tv_loss(out["comp_depth"])
-            logs["train/loss_depth_tv"] = v
-            loss = loss + v * self.loss_lambda(sched, "lambda_depth_tv")
-        if self.has_loss("lambda_normal_tv") and "comp_normal" in out:
-            v = tv_loss(out["comp_normal"])
-            logs["train/loss_normal_tv"] = v
-            loss = loss + v * self.loss_lambda(sched, "lambda_normal_tv")
+        loss = self.tv_trio_losses(out, sched, logs)
         if (
             self.has_loss("lambda_normal_depth_consistency")
             and "comp_normal" in out

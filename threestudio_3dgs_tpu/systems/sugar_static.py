@@ -93,15 +93,7 @@ class GaussianStageRegMixin:
         if out_ref is not None:
             # reference applies the TV trio in both stages
             # (sugar_static.py:315-331)
-            for lam, key_name, log_name in (
-                ("lambda_rgb_tv", "comp_rgb", "rgb_tv"),
-                ("lambda_depth_tv", "comp_depth", "depth_tv"),
-                ("lambda_normal_tv", "comp_normal", "normal_tv"),
-            ):
-                if self.has_loss(lam) and key_name in out_ref:
-                    v = tv_loss(out_ref[key_name])
-                    logs[f"train/loss_{log_name}"] = v
-                    loss = loss + v * self.loss_lambda(sched, lam)
+            loss = self.tv_trio_losses(out_ref, sched, logs, loss)
 
         needs_density = self.has_loss("lambda_density_regulation")
         needs_normal = self.has_loss("lambda_normal_regulation")
@@ -237,8 +229,12 @@ class SugarStaticSystem(GaussianStageRegMixin, Zero123System):
                 prev_state, _ = load_checkpoint(src)
                 g_state = getattr(prev_state, "gauss", prev_state)
                 verts, faces = extract_mesh_from_gaussians(g_state)
-                if verts is not None:
-                    self.geometry.bind_mesh(verts, faces)
+                if verts is None:
+                    raise ValueError(
+                        f"mesh extraction from {src!r} found no surface "
+                        "(gaussians too diffuse?); cannot bind the sugar stage"
+                    )
+                self.geometry.bind_mesh(verts, faces)
             elif src.endswith(".ply"):
                 # extract a mesh from the gaussian-stage PLY and bind it
                 from ..models import ply_io
@@ -251,8 +247,12 @@ class SugarStaticSystem(GaussianStageRegMixin, Zero123System):
                 raw_cfg = GaussianFieldConfig(geometry_convert_from=src)
                 g_state = gf_init(raw_cfg)
                 verts, faces = extract_mesh_from_gaussians(g_state)
-                if verts is not None:
-                    self.geometry.bind_mesh(verts, faces)
+                if verts is None:
+                    raise ValueError(
+                        f"mesh extraction from {src!r} found no surface "
+                        "(gaussians too diffuse?); cannot bind the sugar stage"
+                    )
+                self.geometry.bind_mesh(verts, faces)
             elif src.endswith(".obj"):
                 verts, faces = mesh_ops.load_obj(src)
                 self.geometry.bind_mesh(verts, faces)
@@ -364,15 +364,7 @@ class SugarStaticSystem(GaussianStageRegMixin, Zero123System):
             if out_stats is not None:
                 # reference TV names: rgb_tv / depth_tv / normal_tv
                 # (sugar_static.py:315-331)
-                for lam, key_name, log_name in (
-                    ("lambda_rgb_tv", "comp_rgb", "rgb_tv"),
-                    ("lambda_depth_tv", "comp_depth", "depth_tv"),
-                    ("lambda_normal_tv", "comp_normal", "normal_tv"),
-                ):
-                    if self.has_loss(lam) and key_name in out_stats:
-                        v = tv_loss(out_stats[key_name])
-                        logs[f"train/loss_{log_name}"] = v
-                        total = total + v * self.loss_lambda(sched, lam)
+                total = self.tv_trio_losses(out_stats, sched, logs, total)
 
             logs["train/loss_total"] = total
             logs["n_faces"] = sugar_state.faces.shape[0]

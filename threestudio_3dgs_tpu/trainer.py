@@ -53,7 +53,9 @@ class Trainer:
         # failure detection / recovery (SURVEY.md section 5: absent in the
         # reference -- crashes just die; here device faults trigger an
         # emergency checkpoint and bounded in-place retries, and a NaN
-        # watchdog aborts with a diagnostic instead of training on garbage)
+        # watchdog aborts with a diagnostic instead of training on garbage.
+        # The watchdog samples LOGGED steps only: checking every step would
+        # force a per-step host sync, 100-600 ms each over the tunnel)
         ft = cfg.trainer.get("fault_tolerance", {}) or {}
         self.ft_max_retries = int(ft.get("max_retries", 1))
         self.ft_retry_wait_s = float(ft.get("retry_wait_s", 10.0))
@@ -116,10 +118,13 @@ class Trainer:
                 self.state, logs = self.system.train_step(
                     self.state, batch, self.step, sub
                 )
+            except (TypeError, ValueError, AttributeError, KeyError,
+                    IndexError, AssertionError):
+                # deterministic programming errors: retrying only delays the
+                # stack trace
+                raise
             except Exception as e:  # device fault / tunnel drop / OOM
                 name = type(e).__name__
-                if "KeyboardInterrupt" in name:
-                    raise
                 retries += 1
                 crash_path = os.path.join(
                     self.save_dir, "ckpts", "crash.ckpt.npz"
@@ -159,9 +164,10 @@ class Trainer:
                     if self._nan_streak >= self.ft_nan_patience:
                         self.save_ckpt("nan.ckpt.npz")
                         raise FloatingPointError(
-                            f"train/loss_total non-finite for "
-                            f"{self._nan_streak} consecutive logged steps "
-                            f"(step {self.step}); state saved to nan.ckpt.npz"
+                            f"train/loss_total non-finite on "
+                            f"{self._nan_streak} consecutive LOGGED steps "
+                            f"(step {self.step}, sampled every "
+                            f"{self.log_every}); state saved to nan.ckpt.npz"
                         )
                 else:
                     self._nan_streak = 0

@@ -69,6 +69,8 @@ def C(value: Any, epoch: int, global_step: int, interpolation: str = "linear") -
                 return float(knots[0][1])
             for (t0, v0), (t1, v1) in zip(knots[:-1], knots[1:]):
                 if current < t1:
+                    if interpolation == "interval":
+                        return float(v0)  # step function over the knots
                     tt = (current - t0) / max(t1 - t0, 1e-8)
                     if interpolation == "exp":
                         return math.exp(
