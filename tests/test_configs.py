@@ -52,3 +52,24 @@ def test_config_loads_and_components_resolve(path):
 def test_config_count_covers_reference_matrix():
     # reference ships 18 configs over 12 workloads (SURVEY.md 2.3)
     assert len(CONFIGS) >= 18
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_no_unresolved_interpolations(path):
+    """Every ${...} reference must resolve: an unresolved one survives as a
+    literal string and crashes deep inside training (the
+    gs_to_sugar densify_until_iter regression)."""
+    cfg = load_config(path)
+
+    def walk(node, trail):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, trail + [str(k)])
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, trail + [str(i)])
+        elif isinstance(node, str):
+            assert "${" not in node, (".".join(trail), node)
+
+    for field in ("data", "system", "trainer", "checkpoint"):
+        walk(getattr(cfg, field, None) or {}, [field])
