@@ -164,7 +164,7 @@ def _raster_core(
         n_channels,
         impl,
         view_grid_y,
-    )  # (T, C+1, npix)
+    )  # (T, npix, C+1)
 
     img_full = blend_jax.tiles_to_image(
         out_tiled, grid_x, grid_y, tile_size, height, width

@@ -35,6 +35,26 @@ import jax.numpy as jnp
 from .preprocess import Projected
 
 
+_warned_unaligned: set = set()
+
+
+def _warn_unaligned_capacity(max_pairs: int) -> None:
+    """A max_pairs that is not a multiple of the expand tile silently falls
+    back to the ~10x slower XLA expand + pair gather on TPU; surface it."""
+    if max_pairs not in _warned_unaligned:
+        _warned_unaligned.add(max_pairs)
+        import warnings
+
+        from .expand_pallas import TILE
+
+        warnings.warn(
+            f"rasterizer max_pairs={max_pairs} is not a multiple of {TILE}; "
+            f"the Pallas expand/fused-feature path is DISABLED on TPU "
+            f"(use a multiple of {TILE}, e.g. {(max_pairs // TILE + 1) * TILE})",
+            stacklevel=3,
+        )
+
+
 class Binning(NamedTuple):
     pair_gauss: jnp.ndarray  # (P,) int32 original Gaussian index, tile order
     pair_gm: jnp.ndarray  # (P,) int32 tile-order -> gaussian-major pair index
@@ -105,6 +125,8 @@ def _bin_impl(
     from .expand_pallas import TILE as _EXPAND_TILE
 
     use_pallas = jax.default_backend() == "tpu" and max_pairs % _EXPAND_TILE == 0
+    if jax.default_backend() == "tpu" and not use_pallas:
+        _warn_unaligned_capacity(max_pairs)
     emit_feats = channels is not None and cull and use_pallas
     n_chan = channels.shape[1] if emit_feats else 0
 
@@ -139,12 +161,11 @@ def _bin_impl(
         from .expand_pallas import MASK_K, MASK_NONE
 
         sg_op = jax.lax.stop_gradient(opacities)
+        from .expand_pallas import f32_divmod
+
         jj = jnp.arange(MASK_K, dtype=jnp.float32)[None, :]  # (1, K)
         w_f = jnp.maximum(rect_w, 1).astype(jnp.float32)[:, None]
-        qj = jnp.floor(jj / w_f)
-        remj = jj - qj * w_f
-        qj = jnp.where(remj < 0, qj - 1.0, jnp.where(remj >= w_f, qj + 1.0, qj))
-        remj = jj - qj * w_f
+        qj, remj = f32_divmod(jj, w_f)
         tx = proj.tiles_min[:, 0:1].astype(jnp.float32) + remj
         ty = proj.tiles_min[:, 1:2].astype(jnp.float32) + qj
         ty_l = ty if not view_grid_y else ty % float(view_grid_y)
@@ -176,7 +197,10 @@ def _bin_impl(
     sort_depth = jnp.where(counts_all > 0, proj.depths, jnp.inf)
 
     cols = [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all]
-    if cull:
+    # the cull/channel/mask columns are consumed only by the Pallas expand's
+    # in-window one-hot select; the XLA fallback re-reads them in original
+    # order, so off-TPU they would be pure wasted sort traffic
+    if cull and use_pallas:
         cols += [
             proj.means2d[:, 0],
             proj.means2d[:, 1],
@@ -188,9 +212,10 @@ def _bin_impl(
     if emit_feats:
         chan_sg = jax.lax.stop_gradient(channels)
         cols += [chan_sg[:, j] for j in range(n_chan)]
-    if mask_col is not None:
+    mask_idx = None
+    if mask_col is not None and use_pallas:
+        mask_idx = len(cols)
         cols += [mask_col]
-    mask_idx = 10 + n_chan if mask_col is not None else None
     sorted_cols = jax.lax.sort(
         (sort_depth, iota_n) + tuple(c.astype(jnp.float32) for c in cols),
         num_keys=1,
@@ -201,10 +226,21 @@ def _bin_impl(
         jnp.zeros(n, jnp.int32).at[depth_order].set(iota_n, unique_indices=True)
     )
     counts = fields_d[:, 3].astype(jnp.int32)
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
-    total = offsets[-1] + counts[-1]
-    n_pairs = jnp.minimum(total, max_pairs)
-    n_dropped = total - n_pairs
+    # pair accounting in f32, saturated at 2^24 (the expand sentinel): an
+    # int32 cumsum can WRAP when a scale blow-up makes billions of candidate
+    # pairs, flipping n_pairs negative and inverting the adaptive-capacity
+    # controller exactly when pressure is highest.  f32 additions of
+    # nonnegative ints are exact below 2^24 and stay monotone above, which
+    # is all the clipped offsets need.
+    _SAT = float(2 ** 24)
+    cs = jnp.cumsum(counts.astype(jnp.float32))
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.float32), cs[:-1]]
+    )
+    offsets = jnp.minimum(offsets, _SAT).astype(jnp.int32)
+    total_f = jnp.minimum(cs[-1], _SAT)
+    n_pairs = jnp.minimum(total_f, float(max_pairs)).astype(jnp.int32)
+    n_dropped = (total_f - n_pairs).astype(jnp.int32)
 
     # ---- expand: pair p -> (depth-rank slot, gaussian, covered tile) -----
     pair_feat_cols: tuple = ()
@@ -242,17 +278,12 @@ def _bin_impl(
         )
         slot = jax.lax.cummax(marks)
         g = depth_order[slot]
+        from .expand_pallas import f32_divmod
+
         r = jnp.arange(max_pairs, dtype=jnp.int32) - offsets[slot]
         w = jnp.maximum(rect_w[g], 1)
-        # r // w via f32 reciprocal + one correction step: TPUs have no
-        # integer divide (the jnp.int32 // lowering costs ~100 ms at 2M
-        # pairs); rect dimensions are tiny so f32 is exact after the fixup
-        q = jnp.floor(r.astype(jnp.float32) / w.astype(jnp.float32)).astype(
-            jnp.int32
-        )
-        rem = r - q * w
-        q = jnp.where(rem < 0, q - 1, jnp.where(rem >= w, q + 1, q))
-        rem = r - q * w
+        qf, remf = f32_divmod(r.astype(jnp.float32), w.astype(jnp.float32))
+        q, rem = qf.astype(jnp.int32), remf.astype(jnp.int32)
         tx = proj.tiles_min[g, 0] + rem
         ty = proj.tiles_min[g, 1] + q
         tile_id = ty * grid_x + tx
@@ -284,10 +315,7 @@ def _bin_impl(
             jsel, found = select_nth_set_bit(m, r)
             jf = jsel.astype(jnp.float32)
             wf = w.astype(jnp.float32)
-            qm = jnp.floor(jf / wf)
-            rm = jf - qm * wf
-            qm = jnp.where(rm < 0, qm - 1.0, jnp.where(rm >= wf, qm + 1.0, qm))
-            rm = jf - qm * wf
+            qm, rm = f32_divmod(jf, wf)
             tile_m = (
                 proj.tiles_min[g, 1].astype(jnp.float32) + qm
             ) * grid_x + proj.tiles_min[g, 0].astype(jnp.float32) + rm
@@ -415,8 +443,6 @@ def _gather_bwd_impl(binning, d_pairs):
     d_sorted = prefix[hi] - prefix[lo]  # (N, F), depth order
     return d_sorted[binning.inv_depth_order]
 
-
-from functools import partial
 
 
 @jax.custom_vjp

@@ -8,9 +8,9 @@ model with a *blocked pair layout*:
     (F, 128) block -- Mosaic requires lane-dim slices aligned to 128, which
     rules out row-sliced (chunk, F) copies;
   * inside a program, pixels ride sublanes: the big arrays are
-    (npix = tile_size^2, 128), transmittance scans are manual Hillis-Steele
-    rolls along lanes, channel accumulations and the backward contractions
-    are MXU dot_generals with f32 accumulation;
+    (npix = tile_size^2, 128), transmittance scans are triangular MXU
+    matmuls in log space (see _cumsum_lane), channel accumulations and the
+    backward contractions are MXU dot_generals with f32 accumulation;
   * grid = one program per image tile; a tile's pair range [start, end) maps
     to blocks floor(start/128) .. ceil(end/128); lanes outside the range are
     masked.  Adjacent tiles can share a boundary block, so the backward does
@@ -37,19 +37,6 @@ BLOCK = 128  # pairs per block (lane dim)
 
 def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-
-
-def _lane_scan(x, op, identity):
-    """Inclusive Hillis-Steele scan along axis 1 (lanes)."""
-    n = x.shape[1]
-    lanes = _lane_iota(x.shape)
-    shift = 1
-    while shift < n:
-        rolled = pltpu.roll(x, shift, axis=1)
-        contrib = jnp.where(lanes >= shift, rolled, identity)
-        x = op(x, contrib)
-        shift *= 2
-    return x
 
 
 def _tri_incl(shape):
@@ -491,9 +478,9 @@ def _bwd_kernel(
     def _():
         rd(b_final, jax.lax.rem(b_final - b0, 2)).wait()
 
-    @pl.when(jnp.logical_and(b_final == b0, b0 < b1))
-    def _():
-        rd(b0, 0).wait()
+    # (b_final == b0 with b0 < b1 is impossible: raw starts at 1.0 >= T_EPS,
+    # so the loop always runs at least once when the tile owns any block --
+    # the b0 read is consumed inside the first iteration's wait.)
 
     @pl.when(b_final - 1 >= b0)
     def _():

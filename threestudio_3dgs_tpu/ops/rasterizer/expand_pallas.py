@@ -40,6 +40,19 @@ MASK_K = 24
 MASK_NONE = 1 << 24
 
 
+def f32_divmod(r: jnp.ndarray, w: jnp.ndarray):
+    """(q, rem) = divmod(r, w) via f32 reciprocal + ONE correction step —
+    TPUs have no integer divide (the jnp int32 // lowering costs ~100 ms at
+    2M rows).  Exact for the tiny tile-rect operands used here.  Shared by
+    the Pallas kernels and the XLA fallback so pair -> tile assignment is
+    identical by construction."""
+    q = jnp.floor(r / w)
+    rem = r - q * w
+    q = jnp.where(rem < 0, q - 1.0, jnp.where(rem >= w, q + 1.0, q))
+    rem = r - q * w
+    return q, rem
+
+
 def select_nth_set_bit(m: jnp.ndarray, r: jnp.ndarray):
     """Position of the (r+1)-th set bit of each int32 mask.  Pure jnp vector
     ops -- the pallas kernel and the XLA fallback share it, so pair -> tile
@@ -194,10 +207,7 @@ def _bin_kernel(
     g_row = sel[1:2, :]
     tmx, tmy = sel[2:3, :], sel[3:4, :]
     w = jnp.maximum(sel[4:5, :], 1.0)
-    q = jnp.floor(r / w)
-    rem = r - q * w
-    q = jnp.where(rem < 0, q - 1.0, jnp.where(rem >= w, q + 1.0, q))
-    rem = r - q * w
+    q, rem = f32_divmod(r, w)
     tx = tmx + rem
     ty = tmy + q
     tile_row = ty * grid_x + tx
@@ -224,10 +234,7 @@ def _bin_kernel(
         m = sel[mask_row : mask_row + 1, :].astype(jnp.int32)
         jsel, found = select_nth_set_bit(m, r.astype(jnp.int32))
         jf = jsel.astype(jnp.float32)
-        qm = jnp.floor(jf / w)
-        rm = jf - qm * w
-        qm = jnp.where(rm < 0, qm - 1.0, jnp.where(rm >= w, qm + 1.0, qm))
-        rm = jf - qm * w
+        qm, rm = f32_divmod(jf, w)
         tile_m = (tmy + qm) * grid_x + tmx + rm
         tile_m = jnp.where(found, tile_m, float(num_tiles))
         tile_row = jnp.where(m != MASK_NONE, tile_m, tile_row)
@@ -289,6 +296,7 @@ def expand_bin_pallas(
     matmul -- each within ~1 ulp of the exact row (3-term bf16 split)."""
     n = offsets.shape[0]
     assert n < 2**24 and max_pairs < 2**24  # f32-exact one-hot select
+    assert num_tiles < 2**24, num_tiles  # tile ids are computed in f32
     assert max_pairs % TILE == 0, max_pairs
     cull = cull_fields_d is not None
     assert chan_fields_d is None or cull, "feature emission requires cull fields"
