@@ -269,3 +269,87 @@ class TestCkptWarmStart:
         assert int(state2.n_alive) == int(state.n_alive)
         # fresh optimizer moments
         assert float(jnp.sum(jnp.abs(state2.adam.mu.xyz))) == 0.0
+
+
+def test_vertex_only_ply_init(tmp_path):
+    """load_ply_only_vertex initializes from a plain point cloud with the
+    reference's axis-permutation quirk (gaussian_base.py:319-344)."""
+    import numpy as np
+
+    from threestudio_3dgs_tpu.models import ply_io
+    from threestudio_3dgs_tpu.models.gaussian_field import (
+        GaussianField,
+        GaussianFieldConfig,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    path = str(tmp_path / "points.ply")
+    # hand-write a minimal xyz-only PLY
+    names = ["x", "y", "z"]
+    header = ply_io.ply_header(50, names) if hasattr(ply_io, "ply_header") else None
+    with open(path, "wb") as f:
+        f.write(
+            (
+                "ply\nformat binary_little_endian 1.0\n"
+                "element vertex 50\n"
+                + "".join(f"property float {n}\n" for n in names)
+                + "end_header\n"
+            ).encode()
+        )
+        f.write(pts.astype("<f4").tobytes())
+
+    field = GaussianField(
+        GaussianFieldConfig(
+            geometry_convert_from=path,
+            load_ply_only_vertex=True,
+            max_num=128,
+            capacity=128,
+        )
+    )
+    state = field.init_state(0)
+    assert int(state.n_alive) == 50
+    got = np.asarray(state.params.xyz)[np.asarray(state.alive)]
+    trans = np.array([[0, 1, 0], [0, 0, 1], [1, 0, 0]], np.float32)
+    np.testing.assert_allclose(got, pts @ trans, rtol=1e-6)
+    assert field.active_sh_degree == 0  # pcd init starts at degree 0
+
+
+def test_ckpt_warm_start_restores_sh_and_temporal(tmp_path):
+    """Checkpoint warm starts keep learned SH bands active and preserve
+    spacetime temporal params (they were silently zeroed before)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from threestudio_3dgs_tpu.models.spacetime import (
+        SpacetimeConfig,
+        SpacetimeGaussianField,
+    )
+    from threestudio_3dgs_tpu.utils.ckpt import save_checkpoint
+
+    cfg = SpacetimeConfig(
+        init_num_pts=32, max_num=64, capacity=64, sh_degree=1,
+        num_frames=4, enable_spacetime=True, enable_dynamic=False,
+    )
+    field = SpacetimeGaussianField(cfg)
+    state = field.init_state(0)
+    # pretend training learned some motion
+    state = state.replace(
+        params=state.params.replace(
+            motion=state.params.motion + 0.25,
+        )
+    )
+    ckpt = str(tmp_path / "warm.ckpt.npz")
+    save_checkpoint(ckpt, state, 10)
+
+    cfg2 = SpacetimeConfig(
+        init_num_pts=32, max_num=64, capacity=64, sh_degree=1,
+        num_frames=4, enable_spacetime=True, enable_dynamic=False,
+        geometry_convert_from=ckpt,
+    )
+    field2 = SpacetimeGaussianField(cfg2)
+    state2 = field2.init_state(0)
+    assert field2.active_sh_degree == 1
+    np.testing.assert_allclose(
+        np.asarray(state2.params.motion), np.asarray(state.params.motion)
+    )

@@ -257,6 +257,39 @@ def init_state(cfg: GaussianFieldConfig, seed: int = 0) -> GaussianState:
 
         if not os.path.exists(src):
             raise FileNotFoundError(src)
+        if cfg.load_ply_only_vertex:
+            # plain point-cloud PLY (x/y/z [+ red/green/blue]), reference
+            # gaussian_base.py:319-344 -- including its hard-coded axis
+            # permutation quirk ("only for experiment, should be removed
+            # later", :325-328; preserved for parity, documented in SURVEY)
+            cols = ply_io.read_ply_table(src)
+            positions = np.stack(
+                [cols["x"], cols["y"], cols["z"]], axis=1
+            ).astype(np.float32)
+            trans = np.array(
+                [[0, 1, 0], [0, 0, 1], [1, 0, 0]], np.float32
+            )
+            positions = positions @ trans
+            if "red" in cols and not cfg.load_vertex_only_position:
+                colors = (
+                    np.stack(
+                        [cols["red"], cols["green"], cols["blue"]], axis=1
+                    ).astype(np.float32)
+                    / 255.0
+                )
+            else:
+                rng = np.random.default_rng(seed)
+                shs = rng.random((positions.shape[0], 3)).astype(np.float32) / 255.0
+                colors = shs * 0.28209479177387814 + 0.5
+            params, alive = params_from_pcd(positions, colors, cfg)
+            return GaussianState(
+                params=params,
+                adam=init_adam(params),
+                alive=jnp.asarray(alive),
+                max_radii2d=jnp.zeros(cfg.resolved_capacity(), jnp.float32),
+                xyz_grad_accum=jnp.zeros(cfg.resolved_capacity(), jnp.float32),
+                denom=jnp.zeros(cfg.resolved_capacity(), jnp.float32),
+            )
         raw = ply_io.load_gaussian_ply(src, cfg.sh_degree)
         cap = cfg.resolved_capacity()
         n = raw["xyz"].shape[0]
@@ -529,8 +562,15 @@ class GaussianField:
             cfg = parse_structured(GaussianFieldConfig, cfg)
         self.cfg = cfg
         self.active_sh_degree = 0
-        if cfg.geometry_convert_from.endswith(".ply"):
-            # load_ply activates all SH bands (reference gaussian_io.py:171-172)
+        if (
+            cfg.geometry_convert_from.endswith(".ply")
+            and not cfg.load_ply_only_vertex
+        ) or cfg.geometry_convert_from.endswith((".ckpt", ".ckpt.npz")):
+            # warm starts activate all SH bands (reference
+            # gaussian_io.py:171-172; a ckpt resume carries trained
+            # features_rest that sh_degree=0 would silently drop).  A
+            # vertex-only point cloud starts from degree 0 like the random
+            # init (reference create_from_pcd path).
             self.active_sh_degree = cfg.sh_degree
 
     # -- state ------------------------------------------------------------

@@ -80,6 +80,7 @@ def _parse_header(f) -> Tuple[int, List[Tuple[str, str]], str]:
         raise ValueError("not a PLY file")
     fmt = None
     n = None
+    in_vertex = False
     props: List[Tuple[str, str]] = []
     while True:
         line = f.readline()
@@ -91,12 +92,29 @@ def _parse_header(f) -> Tuple[int, List[Tuple[str, str]], str]:
         if parts[0] == "format":
             fmt = parts[1]
         elif parts[0] == "element":
-            if parts[1] != "vertex" and n is not None:
-                raise ValueError("only single-element vertex PLY supported")
             if parts[1] == "vertex":
+                in_vertex = True
                 n = int(parts[2])
+            else:
+                # a non-vertex element's properties must not leak into the
+                # vertex dtype; and if it PRECEDES the vertex element its
+                # binary payload would offset every vertex read
+                if n is None:
+                    raise ValueError(
+                        f"unsupported PLY layout: element {parts[1]!r} "
+                        "precedes the vertex element"
+                    )
+                in_vertex = False
         elif parts[0] == "property":
-            props.append((parts[1], parts[2]))
+            if in_vertex:
+                if parts[1] == "list":
+                    raise ValueError(
+                        "list properties on the vertex element are unsupported"
+                    )
+                props.append((parts[1], parts[2]))
+            # properties of non-vertex elements are ignored for reading the
+            # vertex table; binary payloads with extra elements still fail
+            # below unless vertex comes first
         elif parts[0] == "end_header":
             break
     if fmt not in ("binary_little_endian", "ascii"):

@@ -106,6 +106,11 @@ def get_motion(params: SpacetimeParams, cfg, delta_t, frame_idx):
         for i in range(cfg.rank_motion):
             motion = motion + m[:, i, :] * delta_t ** (i + 1)
     if cfg.enable_dynamic and params.delta_xyz is not None:
+        if frame_idx is None:
+            raise ValueError(
+                "per-frame dynamic mode needs frame_idx (None would "
+                "silently index as np.newaxis)"
+            )
         motion = motion + params.delta_xyz[:, frame_idx]
     return motion
 
@@ -118,6 +123,11 @@ def get_omega(params: SpacetimeParams, cfg, delta_t, frame_idx):
         for i in range(cfg.rank_omega):
             omega = omega + o[:, i, :] * delta_t ** (i + 1)
     if cfg.enable_dynamic and params.delta_rot is not None:
+        if frame_idx is None:
+            raise ValueError(
+                "per-frame dynamic mode needs frame_idx (None would "
+                "silently index as np.newaxis)"
+            )
         omega = omega + params.delta_rot[:, frame_idx]
     return omega
 
@@ -230,6 +240,17 @@ class SpacetimeGaussianField(GaussianField):
         cap = base.params.xyz.shape[0]
         cfg = self.cfg
         p = base.params
+        if isinstance(p, SpacetimeParams) and (
+            p.motion is not None or p.delta_xyz is not None
+        ):
+            # ckpt warm start already carried the temporal params; keep them
+            # (rebuilding from scratch would silently zero learned motion)
+            return base.replace(adam=init_adam(p))
+
+        def _keep(name, default):
+            # prefer temporal fields present on a loaded SpacetimeParams
+            return getattr(p, name, None) if getattr(p, name, None) is not None else default
+
         st = SpacetimeParams(
             xyz=p.xyz,
             features_dc=p.features_dc,
@@ -272,7 +293,7 @@ class SpacetimeGaussianField(GaussianField):
             return jnp.asarray(C(v, 0, step, interpolation="exp"), jnp.float32)
 
         return SpacetimeParams(
-            xyz=base.xyz,
+            xyz=base.xyz * jnp.float32(cfg.spatial_lr_scale),
             features_dc=base.features_dc,
             features_rest=base.features_rest,
             scaling=base.scaling,
@@ -295,17 +316,9 @@ class SpacetimeGaussianField(GaussianField):
 
     # -- temporal PLY (reference :880-1117) --------------------------------
     def save_ply(self, state: GaussianState, path: str) -> None:
+        super().save_ply(state, path)
         alive = np.asarray(state.alive)
         p = state.params
-        ply_io.save_gaussian_ply(
-            path,
-            xyz=np.asarray(p.xyz)[alive],
-            features_dc=np.asarray(p.features_dc)[alive],
-            features_rest=np.asarray(p.features_rest)[alive],
-            opacity=np.asarray(p.opacity)[alive],
-            scaling=np.asarray(p.scaling)[alive],
-            rotation=np.asarray(p.rotation)[alive],
-        )
         # temporal attributes ride in a sidecar table with the reference's
         # column names (motion_i, omega_i, trbf_center/scale, delta_*_t{i})
         extra_cols: Dict[str, np.ndarray] = {}

@@ -205,7 +205,9 @@ class SuGaRModel:
 
             cfg = parse_structured(type(self).Config, cfg)
         self.cfg = cfg
-        self.active_sh_degree = 0
+        # the reference evaluates ALL allocated bands
+        # (sugar.py:650-665: sh_coordinates[:, :sh_levels ** 2])
+        self.active_sh_degree = cfg.sh_levels - 1
         self.n_per_face = cfg.n_gaussians_per_surface_triangle
         self.bary_np, self.circle_radius = BARY_TABLES[self.n_per_face]
         self.topology: Optional[mesh_ops.MeshTopology] = None
