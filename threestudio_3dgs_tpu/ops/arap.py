@@ -17,7 +17,10 @@ import numpy as np
 
 def build_one_ring(faces: np.ndarray, n_verts: int, max_degree: int = 16):
     """Padded one-ring neighbor table from a triangle list (host-side numpy,
-    done once per mesh).  Returns (nbr_idx (V, D) int32, nbr_mask (V, D))."""
+    done once per mesh).  Returns (nbr_idx (V, D) int32, nbr_mask (V, D)).
+    `max_degree` is a lower bound on the table width: it grows to the mesh's
+    true maximum degree, because silently truncating a high-degree vertex
+    would drop edges in one direction only (asymmetric ARAP/Laplacian)."""
     neighbors = [[] for _ in range(n_verts)]
     for tri in faces:
         for a in range(3):
@@ -26,10 +29,11 @@ def build_one_ring(faces: np.ndarray, n_verts: int, max_degree: int = 16):
                 neighbors[i].append(j)
             if i not in neighbors[j]:
                 neighbors[j].append(i)
-    idx = np.zeros((n_verts, max_degree), np.int32)
-    mask = np.zeros((n_verts, max_degree), np.float32)
+    degree = max((len(nb) for nb in neighbors), default=0)
+    width = max(max_degree, degree)
+    idx = np.zeros((n_verts, width), np.int32)
+    mask = np.zeros((n_verts, width), np.float32)
     for i, nbrs in enumerate(neighbors):
-        nbrs = nbrs[:max_degree]
         idx[i, : len(nbrs)] = nbrs
         mask[i, : len(nbrs)] = 1.0
     return idx, mask

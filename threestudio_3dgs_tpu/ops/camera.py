@@ -161,12 +161,21 @@ def get_rays(
 
     directions: (..., 3); c2w: (4, 4) or batched (B, 4, 4).
     """
-    rays_d = jnp.einsum("...c,rc->...r", directions, c2w[..., :3, :3])
+    if c2w.ndim == 2:
+        rays_d = jnp.einsum("...c,rc->...r", directions, c2w[:3, :3])
+        origins = c2w[:3, 3]
+    else:
+        # batched cameras: directions (B, ..., 3), c2w (B, 4, 4); origins
+        # (B, 3) broadcast over the pixel dims
+        rays_d = jnp.einsum("b...c,brc->b...r", directions, c2w[:, :3, :3])
+        origins = c2w[:, :3, 3].reshape(
+            (c2w.shape[0],) + (1,) * (rays_d.ndim - 2) + (3,)
+        )
     if normalize:
         rays_d = rays_d / jnp.maximum(
             jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12
         )
-    rays_o = jnp.broadcast_to(c2w[..., :3, 3], rays_d.shape)
+    rays_o = jnp.broadcast_to(origins, rays_d.shape)
     if not keepdim:
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)

@@ -32,33 +32,46 @@ def knn(
     """Exact k-nearest neighbors of `query` (M, D) among `points` (N, D).
 
     Returns (sq_dists (M, k), indices (M, k)), nearest first.  With
-    `exclude_self=True` a zero-distance exact match is skipped (self-query),
-    matching simple-knn semantics.
+    `exclude_self=True` (requires query IS points, i.e. a self-query) row i
+    never returns index i -- masked by INDEX, so exact duplicates keep their
+    other copy, matching simple-knn semantics.
     """
     m = query.shape[0]
     kk = k + (1 if exclude_self else 0)
     pad = (-m) % chunk
     query_p = jnp.pad(query, ((0, pad), (0, 0)))
     q_chunks = query_p.reshape(-1, chunk, query.shape[1])
+    base = jnp.arange(q_chunks.shape[0], dtype=jnp.int32) * chunk
 
     pts_sq = jnp.sum(points * points, axis=-1)  # (N,)
 
-    def one_chunk(q):
-        # (chunk, N) squared distances via the MXU-friendly expansion
+    def one_chunk(args):
+        q, row0 = args
+        # (chunk, N) squared distances via the MXU-friendly expansion.
+        # HIGHEST precision: the TPU default matmul is bf16, whose ~1e-3
+        # absolute error in -2 q.p swamps true nearest-neighbor d2 (~1e-6 at
+        # unit scale) and corrupts ordering
         d2 = (
             jnp.sum(q * q, axis=-1, keepdims=True)
-            - 2.0 * q @ points.T
+            - 2.0
+            * jnp.matmul(q, points.T, precision=jax.lax.Precision.HIGHEST)
             + pts_sq[None, :]
         )
         d2 = jnp.maximum(d2, 0.0)
+        if exclude_self:
+            # drop the query point by INDEX (a zero-distance duplicate can
+            # win the tie-break for slot 0, keeping self in the results)
+            rows = row0 + jnp.arange(q.shape[0], dtype=jnp.int32)
+            cols = jnp.arange(d2.shape[1], dtype=jnp.int32)
+            d2 = jnp.where(cols[None, :] == rows[:, None], jnp.inf, d2)
         neg_top, idx = jax.lax.top_k(-d2, kk)
         return -neg_top, idx
 
-    d2, idx = jax.lax.map(one_chunk, q_chunks)
+    d2, idx = jax.lax.map(one_chunk, (q_chunks, base))
     d2 = d2.reshape(-1, kk)[:m]
     idx = idx.reshape(-1, kk)[:m]
     if exclude_self:
-        d2, idx = d2[:, 1:], idx[:, 1:]
+        d2, idx = d2[:, :k], idx[:, :k]
     return d2, idx
 
 

@@ -137,12 +137,16 @@ def prune_isolated_components(
 
 
 def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal OBJ reader: triangles + fan-triangulated polygons, positive or
+    negative (relative) vertex indices."""
     verts, faces = [], []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 verts.append([float(x) for x in line.split()[1:4]])
             elif line.startswith("f "):
-                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:4]]
-                faces.append(idx)
+                raw = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in raw]
+                for a, b in zip(idx[1:-1], idx[2:]):  # fan: quads and beyond
+                    faces.append([idx[0], a, b])
     return np.asarray(verts, np.float32), np.asarray(faces, np.int32)

@@ -173,9 +173,12 @@ def sdf_better_normal_loss(
         )[0]
 
     grads = jax.vmap(jax.grad(dens_fn), in_axes=(0, 0))(pts, idx)
-    grad_dir = grads / jnp.maximum(
-        jnp.linalg.norm(grads, axis=-1, keepdims=True), 1e-8
-    )
+    # gradient-safe normalize (double-where): an all-underflowed neighborhood
+    # gives grads == 0, where norm's reverse-mode is NaN and max() does not
+    # stop 0 * NaN (see ops/image.py normalize_vec)
+    from .image import normalize_vec
+
+    grad_dir = normalize_vec(grads)
     # smallest-scale axis of the source Gaussian
     rot = quaternion.to_rotation_matrix(gaussians["quats"][idx])
     axis_id = jnp.argmin(gaussians["scales"][idx], axis=-1)

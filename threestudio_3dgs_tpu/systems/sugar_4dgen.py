@@ -71,6 +71,7 @@ class Sugar4DGenSystem(Zero123System):
         )
         self.prompt_utils_2d = pp2() if pp2 else None
         self._arap_weights = None
+        self._refresh_arap_weights()  # geometry may bind via config path
 
     def attach_video_frames(self, frames: np.ndarray):
         if hasattr(self.guidance, "prepare_embeddings"):
@@ -78,6 +79,22 @@ class Sugar4DGenSystem(Zero123System):
 
     def bind_mesh(self, verts, faces, colors=None):
         self.geometry.bind_mesh(verts, faces, colors)
+        self._refresh_arap_weights()
+
+    def _refresh_arap_weights(self):
+        """Cotangent edge weights on the canonical mesh (reference ARAPCoach,
+        arap_utils.py:66-140); uniform weights silently diverged before."""
+        topo = getattr(self.geometry, "topology", None)
+        state_faces = getattr(self.geometry, "_bound_mesh", None)
+        if topo is None or state_faces is None:
+            return
+        verts, faces = state_faces[0], state_faces[1]
+        self._arap_weights = cotangent_weights(
+            jnp.asarray(verts),
+            jnp.asarray(faces),
+            jnp.asarray(topo.vert_nbr_idx),
+            jnp.asarray(topo.vert_nbr_mask),
+        )
 
     def init_state(self, seed: int = 0) -> SystemState:
         sugar_state = self.geometry.init_state(seed)

@@ -70,8 +70,11 @@ class GaussianStageRegMixin:
         xyz = state.gauss.params.xyz
         alive = state.gauss.alive
         guarded = jnp.where(alive[:, None], xyz, 1e6)
+        # the reference neighbor table INCLUDES the self-match (pytorch3d
+        # knn_points' first neighbor at distance 0), so the density at a
+        # sample counts its own source Gaussian -- the dominant term
         _, idx = knn_ops.knn(
-            guarded, guarded, k=self.sugar_cfg.knn_to_track, exclude_self=True
+            guarded, guarded, k=self.sugar_cfg.knn_to_track, exclude_self=False
         )
         self._knn_idx = idx
         self._knn_step = step
