@@ -413,3 +413,98 @@ class TestNativeDecimate:
         assert 0.5 < r.min() and r.max() < 1.0
         # output indices valid
         assert f2.min() >= 0 and f2.max() < len(v2)
+
+
+def make_grid_mesh(n=8, z=0.0):
+    """An OPEN flat grid mesh (has border faces)."""
+    xs = np.linspace(-1, 1, n)
+    verts = np.array([[x, y, z] for y in xs for x in xs], np.float32)
+    faces = []
+    for j in range(n - 1):
+        for i in range(n - 1):
+            a = j * n + i
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    return verts, np.asarray(faces, np.int32)
+
+
+class TestPostprocess:
+    """Border-face postprocess (reference system/base.py:325-382; VERDICT
+    round-1 gap #3)."""
+
+    def test_peel_closed_mesh_keeps_all(self):
+        _, faces = make_sphere_mesh()
+        mask = mesh_ops.peel_border_faces(faces, iterations=5)
+        assert mask.all()
+
+    def test_peel_open_grid_removes_border_rings(self):
+        _, faces = make_grid_mesh(8)
+        m1 = mesh_ops.peel_border_faces(faces, iterations=1)
+        m2 = mesh_ops.peel_border_faces(faces, iterations=2)
+        assert 0 < m1.sum() < len(faces)
+        assert m2.sum() < m1.sum()
+        # first peel removes exactly the faces owning an unshared edge
+        # (independent brute-force count with a python dict)
+        from collections import Counter
+
+        cnt = Counter()
+        for f in faces:
+            for e in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+                cnt[tuple(sorted(e))] += 1
+        has_boundary_edge = np.array(
+            [
+                any(
+                    cnt[tuple(sorted((f[k], f[(k + 1) % 3])))] < 2
+                    for k in range(3)
+                )
+                for f in faces
+            ]
+        )
+        np.testing.assert_array_equal(m1, ~has_boundary_edge)
+
+    def test_postprocess_state_low_density_removed(self):
+        cfg = SuGaRConfig(n_gaussians_per_surface_triangle=1,
+                          init_gs_opacity=0.01)
+        model = SuGaRModel(cfg)
+        verts, faces = make_grid_mesh(8)
+        model.bind_mesh(verts, faces)
+        state = model.init_state(0)
+        n0 = state.n_faces
+        new_state = model.postprocess_state(
+            state, density_threshold=0.5, iterations=1
+        )
+        assert new_state.n_faces < n0
+        # per-face params subset consistently
+        assert new_state.params.sh_dc.shape[0] == new_state.n_faces
+        assert new_state.params.scales.shape[0] == new_state.n_faces
+        # vertices untouched (reference keeps all verts)
+        assert new_state.params.points.shape == state.params.points.shape
+
+    def test_postprocess_state_high_density_readded(self):
+        # opaque gaussians with scales >> spacing: density at border face
+        # centers stays above threshold, so every peeled face returns
+        cfg = SuGaRConfig(n_gaussians_per_surface_triangle=1,
+                          init_gs_opacity=0.99)
+        model = SuGaRModel(cfg)
+        verts, faces = make_grid_mesh(8)
+        model.bind_mesh(verts, faces)
+        state = model.init_state(0)
+        big = state.params.replace(
+            scales=jnp.full_like(state.params.scales, np.log(3.0))
+        )
+        state = state.replace(params=big)
+        new_state = model.postprocess_state(
+            state, density_threshold=0.1, iterations=1
+        )
+        assert new_state.n_faces == state.n_faces
+
+    def test_compute_density_profile(self):
+        model = make_model(1, init_gs_opacity=0.9)
+        state = model.init_state(0)
+        # density near the surface >> density far away
+        arrays = model.as_gaussian_arrays(state)
+        near = np.asarray(arrays["means3d"])[:8]
+        far = near * 50.0
+        d_near = model.compute_density(state, near)
+        d_far = model.compute_density(state, far)
+        assert (d_near > d_far + 0.05).all()

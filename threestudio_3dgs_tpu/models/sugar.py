@@ -336,3 +336,70 @@ class SuGaRModel:
         from .mesh_extract import save_obj
 
         save_obj(path, np.asarray(state.params.points), np.asarray(state.faces))
+
+    # -- border-face postprocess (reference system/base.py:325-382) ----------
+    def compute_density(
+        self, state: SuGaRState, points: np.ndarray, k: int = 16
+    ) -> np.ndarray:
+        """Density field at world points: sum over the 16 nearest Gaussians
+        of strength * exp(-1/2 d^T Sigma^-1 d) (the original SuGaR
+        `compute_density` the reference calls at system/base.py:357 -- the
+        method body lives upstream of the reference repo)."""
+        from ..ops.knn import knn
+
+        arrays = self.as_gaussian_arrays(state)
+        means = arrays["means3d"]
+        k = min(k, means.shape[0])
+        _, idx = knn(jnp.asarray(points, jnp.float32), means, k)
+        d = jnp.asarray(points)[:, None, :] - means[idx]  # (P, K, 3)
+        rot = quaternion.to_rotation_matrix(arrays["quats"][idx])
+        local = jnp.einsum("pkij,pki->pkj", rot, d)  # R^T d
+        inv_var = 1.0 / jnp.maximum(arrays["scales"][idx] ** 2, 1e-12)
+        q = jnp.sum(local * local * inv_var, axis=-1)
+        dens = jnp.sum(arrays["opacities"][idx] * jnp.exp(-0.5 * q), axis=-1)
+        return np.asarray(dens)
+
+    def postprocess_state(
+        self,
+        state: SuGaRState,
+        density_threshold: float = 0.1,
+        iterations: int = 5,
+    ) -> SuGaRState:
+        """Remove low-density border faces before texture extraction
+        (reference postprocess_mesh, system/base.py:325-382): peel
+        `iterations` rings of border faces, then re-add peeled faces whose
+        center density exceeds the threshold.  Per-face Gaussian params are
+        subset; vertices are kept (the reference keeps all verts too) and the
+        optimizer state is re-initialized (postprocess runs at predict time,
+        after training)."""
+        faces = np.asarray(state.faces)
+        mask = mesh_ops.peel_border_faces(faces, iterations)
+        removed = ~mask
+        if removed.any():
+            verts = np.asarray(state.params.points)
+            centers = verts[faces[removed]].mean(axis=1)
+            dens = self.compute_density(state, centers)
+            mask[np.nonzero(removed)[0]] = dens > density_threshold
+        if mask.all():
+            return state
+        if not mask.any():
+            raise ValueError("postprocess would remove every face")
+        gmask = np.repeat(mask, self.n_per_face)
+        p = state.params
+        new_params = SuGaRParams(
+            points=p.points,
+            sh_dc=p.sh_dc[gmask],
+            sh_rest=p.sh_rest[gmask],
+            scales=p.scales[gmask],
+            complex_rot=p.complex_rot[gmask],
+            densities=p.densities[gmask],
+        )
+        new_faces = jnp.asarray(faces[mask])
+        self.topology = mesh_ops.build_topology(
+            faces[mask], len(np.asarray(p.points))
+        )
+        return state.replace(
+            params=new_params,
+            adam=init_adam(new_params),
+            faces=new_faces,
+        )

@@ -136,6 +136,34 @@ def prune_isolated_components(
     return verts[keep], new_faces.astype(np.int32), vert_attrs[keep]
 
 
+def peel_border_faces(faces: np.ndarray, iterations: int = 5) -> np.ndarray:
+    """Iteratively mark border faces (reference postprocess_mesh,
+    system/base.py:340-356): a face is INSIDE when each of its 3 edges is
+    shared with at least one other face still in the mask; every iteration
+    peels the current border ring.  The reference detects duplicate edges
+    with a KNN self-query at distance < 0.01 over (i, j) vertex-index pairs
+    -- exact integer duplicate counting is the same predicate.  Returns the
+    boolean keep-mask over faces (host-side numpy)."""
+    faces = np.asarray(faces, np.int64)
+    face_mask = np.ones(len(faces), bool)
+    edges = np.stack(
+        [faces[:, (0, 1)], faces[:, (1, 2)], faces[:, (2, 0)]], axis=1
+    )
+    edges = np.sort(edges, axis=-1)
+    n_verts = int(faces.max()) + 1 if len(faces) else 0
+    keys = edges[..., 0] * n_verts + edges[..., 1]  # (F, 3)
+    for _ in range(iterations):
+        live = np.nonzero(face_mask)[0]
+        sub = keys[live]
+        uniq, counts = np.unique(sub, return_counts=True)
+        cnt = counts[np.searchsorted(uniq, sub)]
+        inside = (cnt >= 2).all(axis=1)
+        if inside.all():
+            break
+        face_mask[live] = inside
+    return face_mask
+
+
 def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Minimal OBJ reader: triangles + fan-triangulated polygons, positive or
     negative (relative) vertex indices."""

@@ -38,6 +38,11 @@ from .gaussian_zero123 import Zero123System, Zero123SystemConfig
 class SugarStaticConfig(Zero123SystemConfig):
     stage: str = "gaussian"  # 'gaussian' | 'sugar'
     sugar: dict = dataclasses.field(default_factory=dict)
+    # border-face cleanup before texture extraction (reference
+    # system/base.py:40-42,73,325-382)
+    postprocess: bool = False
+    postprocess_density_threshold: float = 0.1
+    postprocess_iterations: int = 5
     # optional 2D-diffusion SDS on the random-camera substep, alternating
     # normal/rgb inputs by freq.input_normal after freq.milestone_2d_sds
     # (reference sugar_static.py:231-244)
@@ -409,9 +414,18 @@ class SugarStaticSystem(GaussianStageRegMixin, Zero123System):
         )
 
     def predict_textured_mesh(self, state, views, out_path: str):
-        """--predict: bake a textured OBJ (reference system/base.py:72-323)."""
+        """--predict: bake a textured OBJ (reference system/base.py:72-323).
+        With cfg.postprocess, low-density border faces are peeled first
+        (reference on_predict_start, system/base.py:73)."""
         from ..models.texture_bake import extract_textured_mesh
 
+        if self.cfg.postprocess:
+            new_gauss = self.geometry.postprocess_state(
+                state.gauss,
+                density_threshold=self.cfg.postprocess_density_threshold,
+                iterations=self.cfg.postprocess_iterations,
+            )
+            state = state.replace(gauss=new_gauss)
         return extract_textured_mesh(
             self.geometry,
             state.gauss,
