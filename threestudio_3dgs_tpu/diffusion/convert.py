@@ -210,6 +210,123 @@ def torch_vae_decoder_to_flax(sd) -> dict:
     return _vae_half_to_flax(sd, "decoder", "post_quant_conv")
 
 
+def ldm_unet_to_diffusers(
+    sd: Dict[str, "object"],
+    num_res_blocks: int = 2,
+    num_levels: int = 4,
+) -> Dict[str, "object"]:
+    """CompVis/ldm UNetModel state dict -> diffusers UNet2DConditionModel
+    key naming (then `torch_unet_to_flax` takes it the rest of the way).
+
+    This is the checkpoint format of Zero123 / Stable-Zero123 (a single
+    `zero123-xl.ckpt` with `model.diffusion_model.*` keys), which the
+    reference loads through ldm's `load_model_from_config`
+    (reference guidance/temporal_zero123_guidance.py:42-74).  The mapping is
+    the standard one (diffusers' convert_from_ckpt):
+
+      time_embed.0/2                 -> time_embedding.linear_1/linear_2
+      input_blocks.0.0               -> conv_in
+      input_blocks.{3i+j+1}.0        -> down_blocks.{i}.resnets.{j}
+      input_blocks.{3i+j+1}.1        -> down_blocks.{i}.attentions.{j}
+      input_blocks.{3(i+1)}.0.op     -> down_blocks.{i}.downsamplers.0.conv
+      middle_block.{0,2}             -> mid_block.resnets.{0,1}
+      middle_block.1                 -> mid_block.attentions.0
+      output_blocks.{ki+j}.0         -> up_blocks.{i}.resnets.{j}   (k=nres+1)
+      output_blocks.{ki+j}.1         -> up_blocks.{i}.attentions.{j} (if attn)
+      output_blocks.{...}.{1|2}.conv -> up_blocks.{i}.upsamplers.0.conv
+      out.0 / out.2                  -> conv_norm_out / conv_out
+
+    ldm resnet subkeys: in_layers.0 -> norm1, in_layers.2 -> conv1,
+    emb_layers.1 -> time_emb_proj, out_layers.0 -> norm2, out_layers.3 ->
+    conv2, skip_connection -> conv_shortcut.  SpatialTransformer subkeys
+    already share diffusers' inner naming."""
+    k = num_res_blocks + 1
+    res_sub = {
+        "in_layers.0": "norm1",
+        "in_layers.2": "conv1",
+        "emb_layers.1": "time_emb_proj",
+        "out_layers.0": "norm2",
+        "out_layers.3": "conv2",
+        "skip_connection": "conv_shortcut",
+    }
+
+    def map_resnet(rest: str) -> str:
+        for src, dst in res_sub.items():
+            if rest.startswith(src + "."):
+                return dst + rest[len(src):]
+        raise KeyError(f"unmapped ldm resnet subkey: {rest}")
+
+    unet_roots = (
+        "time_embed.",
+        "input_blocks.",
+        "middle_block.",
+        "output_blocks.",
+        "out.",
+    )
+    out: Dict[str, "object"] = {}
+    for key, value in sd.items():
+        had_prefix = False
+        for pre in ("model.diffusion_model.", "diffusion_model."):
+            if key.startswith(pre):
+                key = key[len(pre):]
+                had_prefix = True
+                break
+        if not had_prefix and not key.startswith(unet_roots):
+            # full ldm checkpoints also carry first_stage_model (VAE),
+            # cond_stage_model (CLIP), model_ema, schedule buffers -- those
+            # are not this UNet's keys
+            continue
+        if (m := re.match(r"time_embed\.(0|2)\.(weight|bias)$", key)):
+            n = "1" if m.group(1) == "0" else "2"
+            out[f"time_embedding.linear_{n}.{m.group(2)}"] = value
+        elif (m := re.match(r"input_blocks\.0\.0\.(weight|bias)$", key)):
+            out[f"conv_in.{m.group(1)}"] = value
+        elif (m := re.match(r"input_blocks\.(\d+)\.0\.op\.(weight|bias)$", key)):
+            level = int(m.group(1)) // k - 1
+            out[f"down_blocks.{level}.downsamplers.0.conv.{m.group(2)}"] = value
+        elif (m := re.match(r"input_blocks\.(\d+)\.(0|1)\.(.*)$", key)):
+            n = int(m.group(1))
+            level, j = (n - 1) // k, (n - 1) % k
+            if m.group(2) == "0":
+                out[
+                    f"down_blocks.{level}.resnets.{j}." + map_resnet(m.group(3))
+                ] = value
+            else:
+                out[f"down_blocks.{level}.attentions.{j}.{m.group(3)}"] = value
+        elif (m := re.match(r"middle_block\.(0|2)\.(.*)$", key)):
+            j = 0 if m.group(1) == "0" else 1
+            out[f"mid_block.resnets.{j}." + map_resnet(m.group(2))] = value
+        elif (m := re.match(r"middle_block\.1\.(.*)$", key)):
+            out[f"mid_block.attentions.0.{m.group(1)}"] = value
+        elif (m := re.match(r"output_blocks\.(\d+)\.(\d)\.conv\.(weight|bias)$", key)):
+            level = int(m.group(1)) // k
+            out[f"up_blocks.{level}.upsamplers.0.conv.{m.group(3)}"] = value
+        elif (m := re.match(r"output_blocks\.(\d+)\.(0|1)\.(.*)$", key)):
+            n = int(m.group(1))
+            level, j = n // k, n % k
+            if m.group(2) == "0":
+                out[
+                    f"up_blocks.{level}.resnets.{j}." + map_resnet(m.group(3))
+                ] = value
+            else:
+                out[f"up_blocks.{level}.attentions.{j}.{m.group(3)}"] = value
+        elif (m := re.match(r"out\.(0|2)\.(weight|bias)$", key)):
+            name = "conv_norm_out" if m.group(1) == "0" else "conv_out"
+            out[f"{name}.{m.group(2)}"] = value
+        else:
+            raise KeyError(f"unmapped ldm UNet key: {key}")
+    return out
+
+
+def is_ldm_state_dict(sd: Dict[str, "object"]) -> bool:
+    """True when the dict carries CompVis/ldm UNet naming (zero123-xl.ckpt
+    style) rather than diffusers naming."""
+    return any(
+        k.startswith(("model.diffusion_model.", "diffusion_model.", "input_blocks."))
+        for k in sd
+    )
+
+
 def fuse_lora(base_sd: Dict[str, "object"], lora_sd: Dict[str, "object"],
               scale: float = 1.0) -> Dict[str, "object"]:
     """Fuse a LoRA adapter into a torch-layout base state dict:
@@ -263,6 +380,54 @@ def fuse_lora(base_sd: Dict[str, "object"], lora_sd: Dict[str, "object"],
     return fused
 
 
+def unet_config_from_diffusers_json(path: str):
+    """Read a genuine diffusers `unet/config.json` into our
+    UNet2DConditionConfig, so local checkpoints load with their true
+    architecture (the reference gets this for free from
+    `UNet2DConditionModel.from_pretrained`)."""
+    import json
+
+    from .unet import UNet2DConditionConfig
+
+    with open(path) as f:
+        cfg = json.load(f)
+    n = len(cfg["block_out_channels"])
+    ahd = cfg.get("attention_head_dim", 8)
+    if isinstance(ahd, int):
+        ahd = [ahd] * n
+    return UNet2DConditionConfig(
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        attention_head_dim=tuple(ahd),
+        cross_attention_dim=cfg.get("cross_attention_dim", 1280),
+        down_block_types=tuple(cfg["down_block_types"]),
+        up_block_types=tuple(cfg["up_block_types"]),
+        use_linear_projection=cfg.get("use_linear_projection", False),
+        freq_shift=cfg.get("freq_shift", 0),
+        norm_groups=cfg.get("norm_num_groups", 32),
+    )
+
+
+def vae_config_from_diffusers_json(path: str):
+    """Read a genuine diffusers `vae/config.json` into AutoencoderKLConfig."""
+    import json
+
+    from .vae import AutoencoderKLConfig
+
+    with open(path) as f:
+        cfg = json.load(f)
+    return AutoencoderKLConfig(
+        in_channels=cfg.get("in_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
 def load_torch_state_dict(path: str):
     """Load a .bin (torch pickle) or .safetensors file as numpy dict."""
     if path.endswith(".safetensors"):
@@ -275,4 +440,9 @@ def load_torch_state_dict(path: str):
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() for k, v in sd.items()}
+    # ldm/lightning checkpoints (zero123-xl.ckpt) nest under "state_dict"
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    return {
+        k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")
+    }

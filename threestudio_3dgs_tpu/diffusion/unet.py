@@ -90,10 +90,14 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-5, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
-            nn.silu(temb)
-        )
-        h = h + t[:, None, None, :]
+        if temb is not None:
+            # the VAE passes temb=None: diffusers VAE resnets have NO
+            # time_emb_proj weights, and a genuine checkpoint must load
+            # without leftover param leaves
+            t = nn.Dense(
+                self.out_channels, dtype=self.dtype, name="time_emb_proj"
+            )(nn.silu(temb))
+            h = h + t[:, None, None, :]
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-5, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)

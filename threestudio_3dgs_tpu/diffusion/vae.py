@@ -67,7 +67,7 @@ class VAEEncoder(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         dt = cfg.dtype
-        temb = jnp.zeros((x.shape[0], 4 * cfg.block_out_channels[0]), dt)
+        temb = None  # diffusers VAE resnets carry no time_emb_proj weights
         h = nn.Conv(
             cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt, name="conv_in"
         )(x.astype(dt))
@@ -112,7 +112,7 @@ class VAEDecoder(nn.Module):
             cfg.latent_channels, (1, 1), dtype=jnp.float32, name="post_quant_conv"
         )(z)
         ch = cfg.block_out_channels[-1]
-        temb = jnp.zeros((z.shape[0], 4 * cfg.block_out_channels[0]), dt)
+        temb = None  # diffusers VAE resnets carry no time_emb_proj weights
         h = nn.Conv(ch, (3, 3), padding=1, dtype=dt, name="conv_in")(z.astype(dt))
         h = ResnetBlock(ch, dt, cfg.norm_groups, name="mid_resnet_0")(h, temb)
         h = VAEAttention(ch, cfg.norm_groups, dt, name="mid_attn")(h)

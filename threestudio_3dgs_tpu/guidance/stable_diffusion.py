@@ -60,6 +60,7 @@ class StableDiffusionGuidance(BaseGuidance):
         )
         self.alphas_cumprod = ddpm_alphas_cumprod()
         self.denoiser = None
+        self.encode_rgb = None
         if os.path.isdir(str(cfg.pretrained_model_name_or_path)):
             # hook point for locally-available weights; loading machinery is
             # deliberately isolated so the training path stays functional
@@ -82,7 +83,17 @@ class StableDiffusionGuidance(BaseGuidance):
         if unet_file is None:
             return None
         from ..diffusion import SD21_UNET, UNet2DCondition, torch_unet_to_flax
-        from ..diffusion.convert import fuse_lora, load_torch_state_dict
+        from ..diffusion.convert import (
+            fuse_lora,
+            load_torch_state_dict,
+            unet_config_from_diffusers_json,
+        )
+
+        unet_cfg = SD21_UNET
+        cfg_json = os.path.join(path, "unet", "config.json")
+        if os.path.isfile(cfg_json):
+            # real diffusers checkpoints ship their architecture; honor it
+            unet_cfg = unet_config_from_diffusers_json(cfg_json)
 
         sd = load_torch_state_dict(unet_file)
         lora_path = str(self.cfg.lora_model_name_or_path or "")
@@ -99,10 +110,14 @@ class StableDiffusionGuidance(BaseGuidance):
                         sd, load_torch_state_dict(cand), self.cfg.lora_scale
                     )
                     break
-        model = UNet2DCondition(SD21_UNET)
+        model = UNet2DCondition(unet_cfg)
         params = jax.tree_util.tree_map(
-            jnp.asarray, torch_unet_to_flax(sd)
+            jnp.asarray,
+            torch_unet_to_flax(
+                sd, use_linear_projection=unet_cfg.use_linear_projection
+            ),
         )
+        self._load_local_vae(path)
 
         def denoiser(noisy, t, key, emb):
             # CFG pair batch: [uncond | cond]; emb (L, D) shared or (B, L, D)
@@ -121,6 +136,49 @@ class StableDiffusionGuidance(BaseGuidance):
 
         return denoiser
 
+    def _load_local_vae(self, path: str) -> None:
+        """Attach a differentiable rgb -> scaled-latent encoder when the
+        checkpoint dir ships a VAE (the reference's `encode_images`,
+        threestudio SD guidance).  Without one, SDS runs directly on rgb
+        ("rgb_as_latents" semantics) -- only valid if the UNet was built for
+        image space."""
+        import os
+
+        vae_file = None
+        for cand in (
+            "vae/diffusion_pytorch_model.safetensors",
+            "vae/diffusion_pytorch_model.bin",
+        ):
+            if os.path.exists(os.path.join(path, cand)):
+                vae_file = os.path.join(path, cand)
+                break
+        if vae_file is None:
+            self.encode_rgb = None
+            return
+        from ..diffusion import SD_VAE, VAEEncoder, torch_vae_encoder_to_flax
+        from ..diffusion.convert import (
+            load_torch_state_dict,
+            vae_config_from_diffusers_json,
+        )
+
+        vae_cfg = SD_VAE
+        cfg_json = os.path.join(path, "vae", "config.json")
+        if os.path.isfile(cfg_json):
+            vae_cfg = vae_config_from_diffusers_json(cfg_json)
+        enc = VAEEncoder(vae_cfg)
+        enc_params = jax.tree_util.tree_map(
+            jnp.asarray, torch_vae_encoder_to_flax(load_torch_state_dict(vae_file))
+        )
+
+        def encode_rgb(rgb, key):
+            # rgb (B, H, W, 3) in [0, 1] -> scaled latents (B, H/8, W/8, C)
+            from ..diffusion.vae import sample_latents
+
+            moments = enc.apply(enc_params, rgb * 2.0 - 1.0)
+            return sample_latents(moments, key, vae_cfg.scaling_factor)
+
+        self.encode_rgb = encode_rgb
+
     def set_denoiser(self, fn):
         """fn(noisy, t, key, text_embedding) -> (eps_uncond, eps_cond)."""
         self.denoiser = fn
@@ -135,6 +193,7 @@ class StableDiffusionGuidance(BaseGuidance):
             sched = sds_sched_scalars(self.sds_cfg, 0)
         ac = self.alphas_cumprod
 
+        latents = rgb
         if self.denoiser is not None:
             emb = (
                 prompt_utils.get_text_embeddings(
@@ -147,6 +206,11 @@ class StableDiffusionGuidance(BaseGuidance):
             def denoise_fn(noisy, t, k):
                 return self.denoiser(noisy, t, k, emb)
 
+            if self.encode_rgb is not None:
+                # real pipeline: rgb -> VAE latents (reference encode_images);
+                # SDS gradients flow back through the encoder into the render
+                key, k_enc = jax.random.split(key)
+                latents = self.encode_rgb(rgb, k_enc)
         else:
             # analytic fallback prior: prompt-derived target palette
             if prompt_utils is not None:
@@ -161,7 +225,7 @@ class StableDiffusionGuidance(BaseGuidance):
                 eps = (noisy - jnp.sqrt(alpha_bar) * x0) / jnp.sqrt(1.0 - alpha_bar)
                 return eps, eps
 
-        loss, aux = sds_loss(rgb, denoise_fn, key, sched, self.sds_cfg, ac)
+        loss, aux = sds_loss(latents, denoise_fn, key, sched, self.sds_cfg, ac)
         return {"loss_sds": loss, "grad_norm": aux["grad_norm"]}
 
 
