@@ -538,3 +538,126 @@ class TestLocalCheckpointEndToEnd:
         assert g.shape == rgb.shape
         assert np.isfinite(g).all()
         assert np.abs(g).max() > 0, "no gradient flowed through the VAE+UNet"
+
+
+def ldm_vae_encoder_manifest(block_out_channels, layers_per_block,
+                             latent_channels, in_channels=3):
+    """Genuine CompVis/ldm AutoencoderKL encoder keys (zero123-xl.ckpt
+    first_stage_model half): encoder.down.{i}.block.{j}, nin_shortcut,
+    mid.block_1/attn_1/block_2 with 1x1-CONV q/k/v/proj_out, norm_out,
+    quant_conv."""
+    keys = {}
+
+    def norm(name, c):
+        keys[f"{name}.weight"] = (c,)
+        keys[f"{name}.bias"] = (c,)
+
+    def conv(name, o, i, k=3):
+        keys[f"{name}.weight"] = (o, i, k, k)
+        keys[f"{name}.bias"] = (o,)
+
+    def resnet(p, cin, cout):
+        norm(f"{p}.norm1", cin)
+        conv(f"{p}.conv1", cout, cin)
+        norm(f"{p}.norm2", cout)
+        conv(f"{p}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{p}.nin_shortcut", cout, cin, 1)
+
+    pre = "first_stage_model."
+    conv(pre + "encoder.conv_in", block_out_channels[0], in_channels)
+    cin = block_out_channels[0]
+    for i, ch in enumerate(block_out_channels):
+        for j in range(layers_per_block):
+            resnet(pre + f"encoder.down.{i}.block.{j}", cin, ch)
+            cin = ch
+        if i < len(block_out_channels) - 1:
+            conv(pre + f"encoder.down.{i}.downsample.conv", ch, ch)
+    resnet(pre + "encoder.mid.block_1", cin, cin)
+    norm(pre + "encoder.mid.attn_1.norm", cin)
+    for nm in ("q", "k", "v", "proj_out"):
+        conv(pre + f"encoder.mid.attn_1.{nm}", cin, cin, 1)
+    resnet(pre + "encoder.mid.block_2", cin, cin)
+    norm(pre + "encoder.norm_out", cin)
+    conv(pre + "encoder.conv_out", 2 * latent_channels, cin)
+    conv(pre + "quant_conv", 2 * latent_channels, 2 * latent_channels, 1)
+    return keys
+
+
+class TestZero123SingleFileCkpt:
+    """The reference's actual Zero123 checkpoint format: ONE ldm .ckpt with
+    model.diffusion_model + first_stage_model + cc_projection (reference
+    guidance/temporal_zero123_guidance.py:42-74)."""
+
+    def make_ckpt(self, path):
+        import torch
+
+        unet_arch = dict(
+            in_channels=8,
+            out_channels=4,
+            block_out_channels=(16, 32),
+            layers_per_block=2,
+            cross_attention_dim=48,
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            use_linear_projection=False,
+        )
+        sd_diff = fill(diffusers_unet_manifest(**unet_arch), seed=6)
+        rename = TestLDMFormat.ldm_rename(sd_diff.keys())
+        sd = {
+            "model.diffusion_model." + rename[k]: torch.from_numpy(v)
+            for k, v in sd_diff.items()
+        }
+        # 4-level VAE: 256^2 cond image -> 32^2 latents like the real model
+        for k, shape in ldm_vae_encoder_manifest(
+            (8, 8, 16, 16), 1, 4
+        ).items():
+            rng = np.random.default_rng(abs(hash(k)) % (2**32))
+            sd[k] = torch.from_numpy(
+                (rng.standard_normal(shape) * 0.02).astype(np.float32)
+            )
+        rng = np.random.default_rng(7)
+        sd["cc_projection.weight"] = torch.from_numpy(
+            (rng.standard_normal((48, 772)) * 0.02).astype(np.float32)
+        )
+        sd["cc_projection.bias"] = torch.zeros(48)
+        # junk the loader must skip
+        sd["model_ema.decay"] = torch.tensor(0.999)
+        sd["betas"] = torch.zeros(1000)
+        torch.save({"state_dict": sd, "global_step": 1}, path)
+
+    def test_temporal_zero123_from_single_ckpt(self, tmp_path):
+        from threestudio_3dgs_tpu.guidance.temporal_zero123 import (
+            TemporalZero123Guidance,
+        )
+
+        ckpt = str(tmp_path / "zero123-tiny.ckpt")
+        self.make_ckpt(ckpt)
+        guidance = TemporalZero123Guidance(
+            pretrained_model_name_or_path=ckpt, num_frames=2
+        )
+        frames = np.stack(
+            [np.full((32, 32, 3), 0.3, np.float32),
+             np.full((32, 32, 3), 0.7, np.float32)]
+        )
+        guidance.prepare_embeddings(frames)
+        assert guidance.denoiser is not None, "ldm ckpt did not load"
+        assert guidance.encode_latents is not None
+        assert guidance.cc_w.shape == (772, 48)
+
+        batch = {
+            "elevation": jnp.zeros((2,)),
+            "azimuth": jnp.asarray([30.0, 60.0]),
+            "camera_distances": jnp.full((2,), 1.2),
+            "frame_indices": jnp.asarray([0, 1], jnp.int32),
+        }
+        rgb = jnp.ones((2, 32, 32, 3)) * 0.5
+
+        def loss_fn(x):
+            out = guidance(x, None, batch, key=jax.random.PRNGKey(0))
+            return out["loss_sds"]
+
+        loss, grad = jax.value_and_grad(loss_fn)(rgb)
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(grad)).all()
+        assert np.abs(np.asarray(grad)).max() > 0

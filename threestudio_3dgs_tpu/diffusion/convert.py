@@ -318,6 +318,64 @@ def ldm_unet_to_diffusers(
     return out
 
 
+def ldm_vae_encoder_to_diffusers(sd: Dict[str, "object"]) -> Dict[str, "object"]:
+    """CompVis/ldm AutoencoderKL ENCODER keys (first_stage_model.encoder.*)
+    -> diffusers naming, ready for `torch_vae_encoder_to_flax`.
+
+    ldm: encoder.down.{i}.block.{j}.{norm1,conv1,norm2,conv2,nin_shortcut},
+    encoder.down.{i}.downsample.conv, encoder.mid.{block_1,attn_1,block_2},
+    encoder.norm_out, quant_conv.  ldm attention q/k/v/proj_out are 1x1
+    convs; diffusers uses Linear -- reshape (C,C,1,1) -> (C,C)."""
+    out: Dict[str, "object"] = {}
+    attn_map = {"q": "to_q", "k": "to_k", "v": "to_v", "proj_out": "to_out.0"}
+    for key, value in sd.items():
+        for pre in ("first_stage_model.",):
+            if key.startswith(pre):
+                key = key[len(pre):]
+                break
+        if key.startswith("quant_conv."):
+            out[key] = value
+            continue
+        if not key.startswith("encoder."):
+            continue
+        rest = key[len("encoder."):]
+        if (m := re.match(r"conv_in\.(weight|bias)$", rest)):
+            out[f"encoder.conv_in.{m.group(1)}"] = value
+        elif (m := re.match(r"norm_out\.(weight|bias)$", rest)):
+            out[f"encoder.conv_norm_out.{m.group(1)}"] = value
+        elif (m := re.match(r"conv_out\.(weight|bias)$", rest)):
+            out[f"encoder.conv_out.{m.group(1)}"] = value
+        elif (m := re.match(
+            r"down\.(\d+)\.block\.(\d+)\.(norm1|conv1|norm2|conv2|nin_shortcut)\.(weight|bias)$",
+            rest,
+        )):
+            name = "conv_shortcut" if m.group(3) == "nin_shortcut" else m.group(3)
+            out[
+                f"encoder.down_blocks.{m.group(1)}.resnets.{m.group(2)}."
+                f"{name}.{m.group(4)}"
+            ] = value
+        elif (m := re.match(r"down\.(\d+)\.downsample\.conv\.(weight|bias)$", rest)):
+            out[
+                f"encoder.down_blocks.{m.group(1)}.downsamplers.0.conv.{m.group(2)}"
+            ] = value
+        elif (m := re.match(r"mid\.block_([12])\.(.*)$", rest)):
+            j = int(m.group(1)) - 1
+            sub = m.group(2).replace("nin_shortcut.", "conv_shortcut.")
+            out[f"encoder.mid_block.resnets.{j}.{sub}"] = value
+        elif (m := re.match(r"mid\.attn_1\.norm\.(weight|bias)$", rest)):
+            out[f"encoder.mid_block.attentions.0.group_norm.{m.group(1)}"] = value
+        elif (m := re.match(r"mid\.attn_1\.(q|k|v|proj_out)\.(weight|bias)$", rest)):
+            v = np.asarray(value)
+            if m.group(2) == "weight" and v.ndim == 4:
+                v = v[:, :, 0, 0]  # 1x1 conv -> linear
+            out[
+                f"encoder.mid_block.attentions.0.{attn_map[m.group(1)]}.{m.group(2)}"
+            ] = v
+        else:
+            raise KeyError(f"unmapped ldm VAE encoder key: {key}")
+    return out
+
+
 def is_ldm_state_dict(sd: Dict[str, "object"]) -> bool:
     """True when the dict carries CompVis/ldm UNet naming (zero123-xl.ckpt
     style) rather than diffusers naming."""
@@ -425,6 +483,88 @@ def vae_config_from_diffusers_json(path: str):
         layers_per_block=cfg.get("layers_per_block", 2),
         norm_groups=cfg.get("norm_num_groups", 32),
         scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
+def infer_unet_config_from_state_dict(sd: Dict[str, "object"], base=None):
+    """Infer a UNet2DConditionConfig from a diffusers-naming state dict's
+    shapes (block channels, in/out channels, cross-attn dim, block types,
+    layers per block, linear-vs-conv projection).  Head counts and norm
+    groups come from `base` (default ZERO123_UNET), shrunk to divide the
+    observed channels -- checkpoints do not encode them in shapes."""
+    import dataclasses
+
+    from .unet import ZERO123_UNET
+
+    base = base or ZERO123_UNET
+    chans = []
+    while f"down_blocks.{len(chans)}.resnets.0.conv1.weight" in sd:
+        chans.append(int(np.shape(sd[f"down_blocks.{len(chans)}.resnets.0.conv1.weight"])[0]))
+    n = len(chans)
+    layers = 0
+    while f"down_blocks.0.resnets.{layers}.conv1.weight" in sd:
+        layers += 1
+    cross = base.cross_attention_dim
+    use_linear = base.use_linear_projection
+    down_types, up_types = [], []
+    for i in range(n):
+        has = f"down_blocks.{i}.attentions.0.norm.weight" in sd
+        down_types.append("CrossAttnDownBlock2D" if has else "DownBlock2D")
+        k = f"down_blocks.{i}.attentions.0.transformer_blocks.0.attn2.to_k.weight"
+        if k in sd:
+            cross = int(np.shape(sd[k])[1])
+        pk = f"down_blocks.{i}.attentions.0.proj_in.weight"
+        if pk in sd:
+            use_linear = len(np.shape(sd[pk])) == 2
+    for i in range(n):
+        has = f"up_blocks.{i}.attentions.0.norm.weight" in sd
+        up_types.append("CrossAttnUpBlock2D" if has else "UpBlock2D")
+    heads = list(base.attention_head_dim[:n]) + [8] * max(0, n - len(base.attention_head_dim))
+    heads = tuple(h if c % h == 0 else 1 for h, c in zip(heads, chans))
+    ng = base.norm_groups
+    while ng > 1 and any(c % ng for c in chans):
+        ng //= 2
+    return dataclasses.replace(
+        base,
+        in_channels=int(np.shape(sd["conv_in.weight"])[1]),
+        out_channels=int(np.shape(sd["conv_out.weight"])[0]),
+        block_out_channels=tuple(chans),
+        layers_per_block=layers,
+        attention_head_dim=heads,
+        cross_attention_dim=cross,
+        down_block_types=tuple(down_types),
+        up_block_types=tuple(up_types),
+        use_linear_projection=use_linear,
+        norm_groups=ng,
+    )
+
+
+def infer_vae_config_from_state_dict(sd: Dict[str, "object"], base=None):
+    """Infer an AutoencoderKLConfig from a diffusers-naming ENCODER state
+    dict's shapes."""
+    import dataclasses
+
+    from .vae import SD_VAE
+
+    base = base or SD_VAE
+    chans = []
+    while f"encoder.down_blocks.{len(chans)}.resnets.0.conv1.weight" in sd:
+        chans.append(
+            int(np.shape(sd[f"encoder.down_blocks.{len(chans)}.resnets.0.conv1.weight"])[0])
+        )
+    layers = 0
+    while f"encoder.down_blocks.0.resnets.{layers}.conv1.weight" in sd:
+        layers += 1
+    ng = base.norm_groups
+    while ng > 1 and any(c % ng for c in chans):
+        ng //= 2
+    return dataclasses.replace(
+        base,
+        in_channels=int(np.shape(sd["encoder.conv_in.weight"])[1]),
+        latent_channels=int(np.shape(sd["quant_conv.weight"])[0]) // 2,
+        block_out_channels=tuple(chans),
+        layers_per_block=layers,
+        norm_groups=ng,
     )
 
 

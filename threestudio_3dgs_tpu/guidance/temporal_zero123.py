@@ -132,8 +132,14 @@ class _TemporalZero123Base(BaseGuidance):
 
         if os.path.isdir(path):
             self._try_load_local(path, frames)
+        elif os.path.isfile(path) and path.endswith(
+            (".ckpt", ".safetensors", ".bin", ".pt")
+        ):
+            self._try_load_ldm_ckpt(path, frames)
 
     def _try_load_local(self, path: str, frames: np.ndarray) -> None:
+        """Diffusers-layout checkpoint directory (unet/ + vae/ +
+        image_encoder/ [+ clip_camera_projection/])."""
         import os
 
         def find(sub):
@@ -155,20 +161,92 @@ class _TemporalZero123Base(BaseGuidance):
         clip_embs = _clip_image_encode_local(os.path.join(path, "image_encoder"), frames)
         if clip_embs is None:
             return
+        from ..diffusion.convert import load_torch_state_dict
 
-        import dataclasses as dc
+        cc_w = cc_b = None
+        ccp_file = find("clip_camera_projection")
+        if ccp_file is not None:
+            ccp_sd = load_torch_state_dict(ccp_file)
+            wkey = [k for k in ccp_sd if k.endswith("weight")][0]
+            bkey = [k for k in ccp_sd if k.endswith("bias")][0]
+            cc_w, cc_b = np.transpose(ccp_sd[wkey]), ccp_sd[bkey]
+        self._build_denoiser(
+            frames,
+            load_torch_state_dict(unet_file),
+            load_torch_state_dict(vae_file),
+            clip_embs,
+            cc_w,
+            cc_b,
+        )
 
+    def _try_load_ldm_ckpt(self, path: str, frames: np.ndarray) -> None:
+        """Single-file CompVis/ldm checkpoint (zero123-xl.ckpt /
+        stable_zero123.ckpt) -- the reference's actual on-disk format
+        (reference guidance/temporal_zero123_guidance.py:42-74 loads it via
+        ldm's load_model_from_config).  The UNet, VAE encoder, and
+        cc_projection all live in one state dict; CLIP image embeddings come
+        from a sibling image_encoder/ dir when present (the ldm CLIP vision
+        tower itself is not ported -- deterministic stand-in embeddings keep
+        the real UNet/VAE path runnable, with c_concat carrying the image
+        identity)."""
+        import os
+
+        from ..diffusion.convert import (
+            is_ldm_state_dict,
+            ldm_unet_to_diffusers,
+            ldm_vae_encoder_to_diffusers,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(path)
+        if not is_ldm_state_dict(sd):
+            return
+        cc_w = cc_b = None
+        if "cc_projection.weight" in sd:
+            cc_w = np.transpose(np.asarray(sd["cc_projection.weight"]))
+            cc_b = np.asarray(sd["cc_projection.bias"])
+        clip_embs = _clip_image_encode_local(
+            os.path.join(os.path.dirname(path), "image_encoder"), frames
+        )
+        if clip_embs is None:
+            rng = np.random.default_rng(0)
+            clip_embs = (
+                rng.standard_normal((frames.shape[0], 768)).astype(np.float32)
+                * 0.1
+            )
+        self._build_denoiser(
+            frames,
+            ldm_unet_to_diffusers(sd),
+            ldm_vae_encoder_to_diffusers(sd),
+            clip_embs,
+            cc_w,
+            cc_b,
+        )
+
+    def _build_denoiser(
+        self,
+        frames: np.ndarray,
+        unet_sd: dict,
+        vae_sd: dict,
+        clip_embs: np.ndarray,
+        cc_w,
+        cc_b,
+    ) -> None:
+        """Wire the real Zero123 denoiser from diffusers-naming state dicts
+        (whatever checkpoint format they came from)."""
         from ..diffusion import ZERO123_UNET, UNet2DCondition, torch_unet_to_flax
         from ..diffusion.convert import (
-            load_torch_state_dict,
+            infer_unet_config_from_state_dict,
+            infer_vae_config_from_state_dict,
             torch_vae_encoder_to_flax,
         )
         from ..diffusion.vae import SD_VAE, VAEEncoder
 
-        enc = VAEEncoder(SD_VAE)
+        unet_cfg = infer_unet_config_from_state_dict(unet_sd, ZERO123_UNET)
+        vae_cfg = infer_vae_config_from_state_dict(vae_sd, SD_VAE)
+        enc = VAEEncoder(vae_cfg)
         enc_params = jax.tree_util.tree_map(
-            jnp.asarray,
-            torch_vae_encoder_to_flax(load_torch_state_dict(vae_file)),
+            jnp.asarray, torch_vae_encoder_to_flax(vae_sd)
         )
 
         def vae_mode(rgb):
@@ -185,22 +263,19 @@ class _TemporalZero123Base(BaseGuidance):
         # camera-conditioned context projection: linear (768+4 -> 768),
         # shipped as clip_camera_projection/ in the diffusers zero123 ports
         # or as `cc_projection.{weight,bias}` in the ldm checkpoint
-        ccp_file = find("clip_camera_projection")
-        if ccp_file is not None:
-            ccp_sd = load_torch_state_dict(ccp_file)
-            wkey = [k for k in ccp_sd if k.endswith("weight")][0]
-            bkey = [k for k in ccp_sd if k.endswith("bias")][0]
-            self.cc_w = jnp.asarray(np.transpose(ccp_sd[wkey]))
-            self.cc_b = jnp.asarray(ccp_sd[bkey])
+        if cc_w is not None:
+            self.cc_w = jnp.asarray(cc_w)
+            self.cc_b = jnp.asarray(cc_b)
         else:
             self.cc_w = jnp.eye(772, 768)  # degenerate fallback: slice
             self.cc_b = jnp.zeros(768)
 
-        model = UNet2DCondition(ZERO123_UNET)
+        model = UNet2DCondition(unet_cfg)
         params = jax.tree_util.tree_map(
-            jnp.asarray, torch_unet_to_flax(
-                load_torch_state_dict(unet_file), use_linear_projection=False
-            )
+            jnp.asarray,
+            torch_unet_to_flax(
+                unet_sd, use_linear_projection=unet_cfg.use_linear_projection
+            ),
         )
 
         def denoiser(noisy, t, key, frame_idx, cam_emb):
@@ -220,7 +295,6 @@ class _TemporalZero123Base(BaseGuidance):
             return eps[:b], eps[b:]
 
         self.denoiser = denoiser
-        s = 32  # latent side at 256^2 conditioning resolution
 
         def encode(rgb, key):
             from ..diffusion.vae import sample_latents
@@ -229,7 +303,7 @@ class _TemporalZero123Base(BaseGuidance):
                 rgb * 2.0 - 1.0, (rgb.shape[0], 256, 256, 3), "bilinear"
             )
             moments = enc.apply(enc_params, x)
-            return sample_latents(moments, key, 0.18215)
+            return sample_latents(moments, key, vae_cfg.scaling_factor)
 
         self.encode_latents = encode
 
