@@ -20,6 +20,24 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: first compile of the full train step
+# through the TPU tunnel takes minutes; cache serialized executables on disk
+# so every later process (launch/bench/scripts/tests) skips it.
+import os as _os
+
+if not _os.environ.get("THREESTUDIO_3DGS_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/jax_compilation"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs: compile uncached
+        pass
+
 from .utils.registry import register, find, registry  # noqa: F401
 
 # importing subpackages triggers component registration (the reference plugin
