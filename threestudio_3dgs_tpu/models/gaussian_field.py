@@ -229,10 +229,44 @@ def random_sphere_pcd(cfg: GaussianFieldConfig, seed: int = 0):
     return xyz, colors
 
 
+def prompt_guidance_pcd(kind: str, prompt: str, cfg, seed: int):
+    """shap-e:/lrm: prompt-based geometry init (reference
+    gaussian_base.py:270-296).  If a '{kind}-guidance' component is
+    registered (a shap-e or OpenLRM port with local weights), call it for
+    (xyz, colors); otherwise fall back to a DETERMINISTIC prompt-seeded
+    sphere cloud so the config surface works without those weights (none
+    exist in this environment)."""
+    import zlib
+
+    from ..utils.registry import registry
+
+    name = f"{kind}-guidance"
+    if name in registry:
+        guidance = registry[name]({})
+        xyz, colors = guidance(prompt)
+        return np.asarray(xyz, np.float32), np.asarray(colors, np.float32)
+    prompt_seed = zlib.crc32(prompt.encode("utf-8")) ^ seed
+    return random_sphere_pcd(cfg, prompt_seed)
+
+
 def init_state(cfg: GaussianFieldConfig, seed: int = 0) -> GaussianState:
     """Build the initial field state per geometry_convert_from
-    (reference gaussian_base.py:270-369: .ply load, or random sphere)."""
+    (reference gaussian_base.py:270-369: shap-e:/lrm: prompt, .ply load,
+    .ckpt warm start, or random sphere)."""
     src = cfg.geometry_convert_from
+    if src and src.startswith(("shap-e:", "lrm:")):
+        kind, _, prompt = src.partition(":")
+        xyz, colors = prompt_guidance_pcd(kind, prompt, cfg, seed)
+        params, alive = params_from_pcd(xyz, colors, cfg)
+        cap = cfg.resolved_capacity()
+        return GaussianState(
+            params=params,
+            adam=init_adam(params),
+            alive=jnp.asarray(alive),
+            max_radii2d=jnp.zeros(cap, jnp.float32),
+            xyz_grad_accum=jnp.zeros(cap, jnp.float32),
+            denom=jnp.zeros(cap, jnp.float32),
+        )
     if src and (src.endswith(".ckpt.npz") or src.endswith(".ckpt")):
         # warm-start from a saved training state (reference supports .ckpt
         # warm starts at gaussian_base.py:297-347); our checkpoints hold the

@@ -136,6 +136,33 @@ def prune_isolated_components(
     return verts[keep], new_faces.astype(np.int32), vert_attrs[keep]
 
 
+def estimate_pointcloud_normals(
+    points: jnp.ndarray,
+    neighborhood_size: int = 32,
+    disambiguate_directions: bool = True,
+) -> jnp.ndarray:
+    """Per-point PCA normals (pytorch3d `estimate_pointcloud_normals`
+    equivalent, used by the reference SuGaR better-normal branch at
+    reference/utils/sugar_utils.py:385): covariance of the K-neighborhood,
+    normal = eigenvector of the smallest eigenvalue; directions flipped to
+    point away from the local centroid (pytorch3d's disambiguation), i.e.
+    outward on a convex surface."""
+    from .knn import knn
+
+    points = jnp.asarray(points, jnp.float32)
+    _, idx = knn(points, points, neighborhood_size)
+    nbr = points[idx]  # (N, K, 3), includes self
+    mean = nbr.mean(axis=1)
+    d = nbr - mean[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", d, d) / neighborhood_size
+    _, v = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    normals = v[..., 0]
+    if disambiguate_directions:
+        proj = jnp.sum(normals * (mean - points), axis=-1)
+        normals = jnp.where(proj[:, None] > 0, -normals, normals)
+    return normals
+
+
 def peel_border_faces(faces: np.ndarray, iterations: int = 5) -> np.ndarray:
     """Iteratively mark border faces (reference postprocess_mesh,
     system/base.py:340-356): a face is INSIDE when each of its 3 edges is

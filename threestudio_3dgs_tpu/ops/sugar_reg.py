@@ -152,10 +152,15 @@ def sdf_better_normal_loss(
     gaussians: dict,
     knn_idx: jnp.ndarray,
     n_samples: int,
+    normals_from_points: bool = False,
+    neighborhood_size: int = 32,
 ) -> jnp.ndarray:
     """Align the density-field gradient at samples with the source Gaussian's
-    smallest-scale axis (the surface normal of a flat Gaussian).  The
-    reference hand-derives this gradient (:476-759); autodiff does it here."""
+    normal.  The reference hand-derives this gradient (:476-759); autodiff
+    does it here.  The normal is the Gaussian's smallest-scale axis by
+    default; with `normals_from_points` it is PCA-estimated from the center
+    cloud instead (reference get_normals(estimate_from_points=True),
+    reference/utils/sugar_utils.py:384-389)."""
     pts, idx = sample_points_in_gaussians(
         key,
         gaussians["means"],
@@ -179,11 +184,19 @@ def sdf_better_normal_loss(
     from .image import normalize_vec
 
     grad_dir = normalize_vec(grads)
-    # smallest-scale axis of the source Gaussian
-    rot = quaternion.to_rotation_matrix(gaussians["quats"][idx])
-    axis_id = jnp.argmin(gaussians["scales"][idx], axis=-1)
-    normal_axis = jnp.take_along_axis(
-        jnp.swapaxes(rot, -1, -2), axis_id[:, None, None], axis=1
-    )[:, 0]
+    if normals_from_points:
+        from .mesh import estimate_pointcloud_normals
+
+        all_normals = estimate_pointcloud_normals(
+            jax.lax.stop_gradient(gaussians["means"]), neighborhood_size
+        )
+        normal_axis = all_normals[idx]
+    else:
+        # smallest-scale axis of the source Gaussian
+        rot = quaternion.to_rotation_matrix(gaussians["quats"][idx])
+        axis_id = jnp.argmin(gaussians["scales"][idx], axis=-1)
+        normal_axis = jnp.take_along_axis(
+            jnp.swapaxes(rot, -1, -2), axis_id[:, None, None], axis=1
+        )[:, 0]
     cos = jnp.abs(jnp.sum(grad_dir * normal_axis, axis=-1))
     return jnp.mean(1.0 - cos)
