@@ -28,5 +28,8 @@ echo "log -> $LOG"
   echo "=== pallas-vs-fallback parity probe ==="
   timeout 580 python scripts/check_bin_fused.py 2>/dev/null || \
     echo "(probe script optional)"
+
+  echo "=== hardware dryrun: Pallas under shard_map at training scale ==="
+  timeout 580 python __graft_entry__.py hw
 } 2>&1 | tee "$LOG"
 echo "DONE -> $LOG"
