@@ -31,5 +31,8 @@ echo "log -> $LOG"
 
   echo "=== hardware dryrun: Pallas under shard_map at training scale ==="
   timeout 580 python __graft_entry__.py hw
+
+  echo "=== render-quality floor (Pallas vs oracle PSNR) ==="
+  RUN_ON_TPU=1 timeout 580 python -m pytest tests/test_quality_regression.py -x -q -s
 } 2>&1 | tee "$LOG"
 echo "DONE -> $LOG"
