@@ -133,11 +133,15 @@ def _power_mxu(basis, coeffs):
 
 
 def _block_alpha_mxu(power, opa, pmask):
+    """opa is pre-masked on the (1, BLOCK) lane row (opa=0 outside the tile's
+    pair range), so the range test never touches an (npix, BLOCK) array:
+    alpha_raw = 0 for dead lanes fails the ALPHA_MIN test on its own."""
+    del pmask
     gauss = jnp.exp(jnp.minimum(power, 0.0))
-    alpha = opa * gauss
-    ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & pmask
-    alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_MAX), 0.0)
-    return alpha, gauss, ok
+    alpha_raw = opa * gauss
+    ok = (power <= 0.0) & (alpha_raw >= ALPHA_MIN)
+    alpha = jnp.where(ok, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
+    return alpha, alpha_raw, ok
 
 
 def _pad8(n: int) -> int:
@@ -220,6 +224,7 @@ def _fwd_kernel(
         gid = b * BLOCK + lane
         pmask = jnp.logical_and(gid >= start, gid < end)  # (1, BLOCK)
         coeffs, _, _, _, _, _, opa = _coeff_rows(feats, tx0, ty0)
+        opa = jnp.where(pmask, opa, 0.0)  # lane-row range mask, see helper
         alpha, _, _ = _block_alpha_mxu(_power_mxu(basis, coeffs), opa, pmask)
         om = 1.0 - alpha
         cum_incl = raw * _cumprod_lane(om)  # (npix, BLOCK)
@@ -386,9 +391,10 @@ def _bwd_kernel(
         feats = scratch[s]
         pmask = jnp.logical_and(gid >= start, gid < end)
         coeffs, x, y, ca, cb, cc, opa = _coeff_rows(feats, tx0, ty0)
+        opa = jnp.where(pmask, opa, 0.0)  # lane-row range mask, see helper
         power = _power_mxu(basis, coeffs)
-        alpha, gauss, ok = _block_alpha_mxu(power, opa, pmask)
-        unclamped = ok & (opa * gauss < ALPHA_MAX)
+        alpha, alpha_raw, ok = _block_alpha_mxu(power, opa, pmask)
+        unclamped = ok & (alpha_raw < ALPHA_MAX)
         om = 1.0 - alpha
         cum_incl = raw * _cumprod_lane(om)
         include = cum_incl >= T_EPS
@@ -412,11 +418,15 @@ def _bwd_kernel(
         prefix_inc = prefix + _cumsum_lane(uw)
         suffix = u_tot - prefix_inc
 
-        d_alpha = jnp.where(
-            include, u * cum_excl - suffix / jnp.maximum(om, 1e-6), 0.0
+        # d_power = opa*gauss * d_alpha, consolidated: on live lanes
+        # alpha = opa*gauss, so opa*gauss*(u*cum_excl) = u*w = uw (already
+        # computed for the prefix scan) and opa*gauss*(suffix/om) =
+        # suffix*(alpha/om).  om = 1 - alpha >= 1 - ALPHA_MAX > 0 always
+        # (alpha is clamped), so the division needs no guard.  Saves ~3
+        # (npix, BLOCK) VPU ops + the old d_alpha/d_gauss_term chain.
+        d_power = jnp.where(
+            include & unclamped, uw - suffix * (alpha / om), 0.0
         )
-        d_gauss_term = jnp.where(unclamped, d_alpha, 0.0)
-        d_power = opa * gauss * d_gauss_term
         keep = jnp.where(pmask, 1.0, 0.0)  # (1, BLOCK)
         # every mean/covariance/opacity gradient is a combination of the six
         # d_power pixel moments: ONE MXU matmul replaces five (npix, BLOCK)
