@@ -63,6 +63,26 @@ def test_forward_parity_early_termination():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_backward_parity_alpha_clamp():
+    """High opacities push alpha past ALPHA_MAX=0.99, exercising the clamped
+    d_alpha/d_power masking branch end-to-end (advisor round-2 item)."""
+    ts = 16
+    pair_feats, ranges, gx, gy, c = build_blend_inputs(
+        n=200, seed=5, tile_size=ts, opacity_hi=0.999
+    )
+    out = blend_jax.blend_forward(pair_feats, ranges, gx, gy, ts, c)
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    ref = blend_jax.blend_backward(pair_feats, ranges, out, g, gx, gy, ts, c)
+    got = blend_backward_pallas(
+        pair_feats, ranges, out, g, gx, gy, ts, c, interpret=INTERPRET
+    )
+    scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got) / scale, np.asarray(ref) / scale, atol=1e-4
+    )
+
+
 @pytest.mark.parametrize("seed", [0, 5])
 def test_backward_parity(seed):
     ts = 16

@@ -581,7 +581,7 @@ def densify_op(
 
 
 @register("gaussian-splatting")
-class GaussianField:
+class GaussianField:  # also registered as "gaussian-splatting-io" below
     """Host-side wrapper: owns the config, schedules structural updates, and
     provides I/O.  All device state lives in `GaussianState` pytrees."""
 
@@ -675,3 +675,12 @@ class GaussianField:
             scaling=np.asarray(p.scaling)[alive],
             rotation=np.asarray(p.rotation)[alive],
         )
+
+
+# The reference registers its PLY/mesh I/O mixin as a standalone component
+# (reference geometry/gaussian_io.py:34 "gaussian-splatting-io"); here that
+# surface lives on GaussianField itself (save_ply above + models/ply_io.py /
+# models/mesh_extract.py), so the name aliases onto the same class.
+from ..utils import registry as _registry_mod  # noqa: E402
+
+_registry_mod.registry["gaussian-splatting-io"] = GaussianField
