@@ -271,6 +271,11 @@ class RandomCameraSampler:
             "height": self.height,
             "width": self.width,
             "fovy": fovy,
+            # global view index within the batch: per-view PRNG keys are
+            # fold_in(key, view_index) so stochastic render bits (bg
+            # inversion, material aug) are invariant to how the batch is
+            # sharded over a device mesh (1 device == N devices bit-for-bit)
+            "view_index": np.arange(b, dtype=np.int32),
         }
 
 

@@ -377,7 +377,15 @@ def _gather_fwd_impl(feats, binning):
     return feats[binning.pair_gauss]
 
 
-def _gather_bwd_impl(binning, d_pairs):
+# Bits per gradient value carried through the reduction sort: 21 packs
+# 3 values into 2 words (rel err <= 2^-13 ~ 1.2e-4, an order of magnitude
+# inside the 1e-3 grad budget) and cuts the 11-operand payload sort to 8
+# operands (~1 ms per column at 2M rows, PERF.md).  0 = exact f32 columns;
+# 16 = bfloat16 density (over budget; experiments only).
+PACK_GRAD_BITS = 21
+
+
+def _gather_bwd_impl(binning, d_pairs, interpret: bool = False):
     """Transpose of the pair gather without any scatter-add: permute grads to
     gaussian-major order with a payload-carrying sort (a random 2M-row gather
     costs ~49 ms on v5e, the sort ~17 ms), then reduce each Gaussian's
@@ -390,10 +398,11 @@ def _gather_bwd_impl(binning, d_pairs):
     1M).  Per-segment offsets come from counts in original order (free:
     computed before the depth sort); when capacity dropped pairs (rare --
     adaptive sizing grows first) a lax.cond pays one extra permute to get
-    the kept-counts instead."""
+    the kept-counts instead.  Gradient columns ride the sort bit-packed
+    (PACK_GRAD_BITS above)."""
     p_total = d_pairs.shape[0]
     n = binning.offsets.shape[0]
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" or interpret:
         from .segsum_pallas import segsum_monotone_pallas
 
         # culled + capacity-tail rows must be zero (pallas blend already
@@ -406,11 +415,31 @@ def _gather_bwd_impl(binning, d_pairs):
         g_key = jnp.where(
             binning.pair_gm < binning.n_pairs, binning.pair_gauss, jnp.int32(n)
         )
-        sorted_cols = jax.lax.sort(
-            (g_key,) + tuple(d_safe[:, j] for j in range(d_pairs.shape[1])),
-            num_keys=1,
-        )
-        d_g = jnp.stack(sorted_cols[1:], axis=1)
+        f_dim = d_pairs.shape[1]
+        if PACK_GRAD_BITS == 21:
+            from .pack import pack21, unpack21
+
+            packed = pack21(d_safe)
+            sorted_cols = jax.lax.sort(
+                (g_key,) + tuple(packed[:, j] for j in range(packed.shape[1])),
+                num_keys=1,
+            )
+            d_g = unpack21(jnp.stack(sorted_cols[1:], axis=1), f_dim)
+        elif PACK_GRAD_BITS == 16:
+            from .pack import pack16, unpack16
+
+            packed = pack16(d_safe)
+            sorted_cols = jax.lax.sort(
+                (g_key,) + tuple(packed[:, j] for j in range(packed.shape[1])),
+                num_keys=1,
+            )
+            d_g = unpack16(jnp.stack(sorted_cols[1:], axis=1), f_dim)
+        else:
+            sorted_cols = jax.lax.sort(
+                (g_key,) + tuple(d_safe[:, j] for j in range(f_dim)),
+                num_keys=1,
+            )
+            d_g = jnp.stack(sorted_cols[1:], axis=1)
         counts_o = jax.lax.cond(
             binning.n_dropped > 0,
             lambda: jnp.clip(p_total - binning.offsets, 0, binning.counts)[
@@ -422,7 +451,8 @@ def _gather_bwd_impl(binning, d_pairs):
             [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_o)[:-1]]
         )
         return segsum_monotone_pallas(
-            d_g, sorted_cols[0], binning.n_pairs, n, seg_offsets=offs_o
+            d_g, sorted_cols[0], binning.n_pairs, n, seg_offsets=offs_o,
+            interpret=interpret,
         )
     sorted_cols = jax.lax.sort(
         (binning.pair_gm,) + tuple(d_pairs[:, j] for j in range(d_pairs.shape[1])),

@@ -1,0 +1,116 @@
+"""Lossy-but-bounded bit packing of gradient columns for payload-carrying
+sorts.
+
+The backward pair-grad reduction permutes a (P, F~10) f32 table to
+gaussian-major order with a payload-carrying `lax.sort` (binning.py
+`_gather_bwd_impl`).  TPU sort cost is ~1 ms per payload column at 2M rows
+(PERF.md cost table), so the 10 gradient columns dominate the 18 ms sort.
+Gradients carry a ~1e-3 relative accuracy budget vs the oracle (the FD/VJP
+test tolerance), which leaves room to move FEWER THAN 32 bits per value
+through the sort:
+
+  * `pack21` / `unpack21`: 3 values -> 2 uint32 words.  A 21-bit float
+    (sign + 8-bit exponent + 12-bit mantissa) is the TOP 21 BITS of the IEEE
+    f32 encoding, extracted with round-to-nearest by adding half of the
+    dropped 11 bits before truncating -- the carry propagates through
+    mantissa into exponent exactly like IEEE rounding.  Relative error
+    <= 2^-13 ~ 1.2e-4: an order of magnitude inside the budget.
+    F=10 -> 7 words: sort operands drop 11 -> 8.
+
+  * `pack16` / `unpack16`: 2 values -> 1 uint32 word via the same
+    top-bits trick at 16 bits (sign + 8 exp + 7 mantissa, i.e. bfloat16).
+    Relative error <= 2^-8 ~ 3.9e-3: OVER the budget; kept for
+    experiments only.
+
+The CUDA pipeline has no analog (atomicAdd reduces in hardware,
+reference renderer/diff_gaussian_rasterizer.py:122-131 boundary); this is a
+TPU-specific bandwidth trade enabled by the budgeted tolerance.
+
+Values must be finite (gradients are; non-finite inputs round like their
+bit patterns and stay non-finite-ish after unpack, which the NaN watchdog
+catches downstream).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _round_top_bits(x: jnp.ndarray, keep: int) -> jnp.ndarray:
+    """f32 -> top-`keep`-bits encoding (uint32 holding the rounded high bits
+    in its LOW `keep` bits)."""
+    drop = 32 - keep
+    u = jnp.asarray(x, jnp.float32).view(jnp.uint32)
+    # round-to-nearest(-up on ties): adding 2^(drop-1) carries through the
+    # mantissa into the exponent exactly as IEEE rounding requires.
+    # (Overflow to inf needs |x| within 2^-13 of f32-max -- not a gradient.)
+    u = u + jnp.uint32(1 << (drop - 1))
+    return u >> drop
+
+
+def _from_top_bits(u: jnp.ndarray, keep: int) -> jnp.ndarray:
+    drop = 32 - keep
+    return (u << drop).view(jnp.float32)
+
+
+def pack21(cols: jnp.ndarray) -> jnp.ndarray:
+    """(P, F) f32 -> (P, ceil(F/3)*2 - (1 if F%3==1 else 0)) uint32.
+
+    Triples (v0, v1, v2) pack as
+      w0 = v0 | (v1 & 0x7FF) << 21        (v0 all 21, v1 low 11)
+      w1 = (v1 >> 11) | v2 << 10          (v1 high 10, v2 all 21)
+    A trailing group of 1 value uses one word, of 2 values two words.
+    """
+    p, f = cols.shape
+    words = []
+    for i in range(0, f, 3):
+        g = [_round_top_bits(cols[:, j], 21) for j in range(i, min(i + 3, f))]
+        if len(g) == 3:
+            words.append(g[0] | (g[1] & jnp.uint32(0x7FF)) << 21)
+            words.append((g[1] >> 11) | g[2] << 10)
+        elif len(g) == 2:
+            words.append(g[0] | (g[1] & jnp.uint32(0x7FF)) << 21)
+            words.append(g[1] >> 11)
+        else:
+            words.append(g[0])
+    return jnp.stack(words, axis=1)
+
+
+def unpack21(packed: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of pack21: (P, W) uint32 -> (P, f) f32."""
+    cols = []
+    w = 0
+    for i in range(0, f, 3):
+        n = min(3, f - i)
+        if n >= 1:
+            cols.append(_from_top_bits(packed[:, w] & jnp.uint32(0x1FFFFF), 21))
+        if n >= 2:
+            v1 = (packed[:, w] >> 21) | (packed[:, w + 1] & jnp.uint32(0x3FF)) << 11
+            cols.append(_from_top_bits(v1, 21))
+        if n == 3:
+            cols.append(_from_top_bits(packed[:, w + 1] >> 10, 21))
+        w += 2 if n >= 2 else 1
+    return jnp.stack(cols, axis=1)
+
+
+def pack16(cols: jnp.ndarray) -> jnp.ndarray:
+    """(P, F) f32 -> (P, ceil(F/2)) uint32, 2 bfloat16-precision values/word."""
+    p, f = cols.shape
+    words = []
+    for i in range(0, f, 2):
+        lo = _round_top_bits(cols[:, i], 16)
+        if i + 1 < f:
+            hi = _round_top_bits(cols[:, i + 1], 16)
+            words.append(lo | hi << 16)
+        else:
+            words.append(lo)
+    return jnp.stack(words, axis=1)
+
+
+def unpack16(packed: jnp.ndarray, f: int) -> jnp.ndarray:
+    cols = []
+    for j in range(f):
+        w = packed[:, j // 2]
+        u = (w >> 16) if (j % 2) else (w & jnp.uint32(0xFFFF))
+        cols.append(_from_top_bits(u, 16))
+    return jnp.stack(cols, axis=1)

@@ -92,6 +92,13 @@ def make_dp_train_step(
             ),
             axis,
         )
+        # adaptive pair-capacity signals (systems/base.py _adapt_pair_capacity):
+        # per-view pair DEMAND maxed over the GLOBAL camera batch, drops summed
+        logs = dict(logs)
+        logs["n_dropped_pairs"] = jax.lax.psum(jnp.sum(out["n_dropped"]), axis)
+        logs["n_pairs_max"] = jax.lax.pmax(
+            jnp.max(out["n_pairs"] + out["n_dropped"]), axis
+        )
         return g_gauss, g_extra, radii, vis_sum, grad_sum, logs
 
     specs = dict(

@@ -270,9 +270,18 @@ class GaussianRendererBase:
         bs = c2w.shape[0]
         height = int(batch["height"])
         width = int(batch["width"])
-        keys = (
-            jax.random.split(key, bs) if key is not None else [None] * bs
-        )
+        if key is None:
+            keys = [None] * bs
+        elif "view_index" in batch:
+            # per-view keys from the GLOBAL view index: identical per-view
+            # randomness no matter how the camera batch is sharded across a
+            # device mesh (data_parallel shard == single device)
+            keys = [
+                jax.random.fold_in(key, batch["view_index"][i])
+                for i in range(bs)
+            ]
+        else:
+            keys = jax.random.split(key, bs)
         cameras = []
         for i in range(bs):
             fovy = batch["fovy"][i]

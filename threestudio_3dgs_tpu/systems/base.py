@@ -119,6 +119,11 @@ class BaseGaussianSystem:
         self._eval_jit: Dict[Any, Any] = {}
         self._capacity: Optional[int] = None  # adaptive pair capacity
         self._pair_log: list = []
+        # data-parallel camera sharding: set by the Trainer via set_mesh()
+        # when more than one device is available (the reference assumes
+        # Lightning DDP drives this from launch.py; SURVEY.md section 2.4)
+        self.mesh = None
+        self._dp_axis = "data"
 
         opt = cfg.optimizer if isinstance(cfg.optimizer, dict) else {}
         self.extra_lr = float(
@@ -307,6 +312,53 @@ class BaseGaussianSystem:
             )
             self._capacity = new_cap
 
+    def set_mesh(self, mesh, axis: str = "data") -> None:
+        """Route training through the camera-sharded dp step on `mesh`.
+
+        Called by the Trainer when the host has multiple devices (or the
+        config requests an explicit device count).  The reference reaches
+        multi-GPU through Lightning DDP configured in launch.py
+        (reference README.md:41, rank-aware data at reference
+        data/image.py:23,58); here the same surface engages shard_map over a
+        jax Mesh.  A 1-device mesh is valid (same code path, no collectives
+        cost) and is how the shard_map x Pallas x Adam combination is
+        validated on a single real chip.
+
+        When a step's camera batch is not divisible by the mesh size, the
+        step runs on a sub-mesh of gcd(batch, n_devices) devices (DDP-style
+        divisibility, degrading gracefully instead of erroring)."""
+        self.mesh = mesh
+        self._dp_axis = axis
+        self._train_jit.clear()
+
+    def _mesh_for_batch(self, bs: int):
+        """The largest sub-mesh whose size divides the camera batch."""
+        import math
+
+        n = self.mesh.shape[self._dp_axis]
+        use = math.gcd(bs, n)
+        if use == n:
+            return self.mesh
+        key = ("submesh", use)
+        if key not in self._train_jit:
+            from jax.sharding import Mesh
+
+            devs = np.asarray(self.mesh.devices).reshape(-1)[:use]
+            self._train_jit[key] = Mesh(devs, (self._dp_axis,))
+        return self._train_jit[key]
+
+    def _dp_train_jit(self, sig, mesh):
+        """Cached dp train step for (height, width, global_bs, capacity)."""
+        key = ("dp", mesh.shape[self._dp_axis]) + sig
+        if key not in self._train_jit:
+            from ..parallel.data_parallel import make_dp_train_step
+
+            height, width, bs, _ = sig
+            self._train_jit[key] = make_dp_train_step(
+                self, mesh, height, width, bs, axis=self._dp_axis
+            )
+        return self._train_jit[key]
+
     def train_step(self, state, batch, step: int, key):
         dev_batch = to_device_batch(batch)
         sched = self.sched_scalars(step)
@@ -315,12 +367,20 @@ class BaseGaussianSystem:
         capacity = self._pair_capacity()
         self.renderer.max_pairs_override = capacity
         sig = (height, width, bs, capacity)
-        if sig not in self._train_jit:
-            self._train_jit[sig] = jax.jit(
-                partial(self._train_step_impl, *sig[:3])
-            )
         k_step, k_struct = jax.random.split(key)
-        state, logs = self._train_jit[sig](state, dev_batch, k_step, sched)
+        if self.mesh is not None:
+            from ..parallel.data_parallel import shard_batch
+
+            mesh = self._mesh_for_batch(bs)
+            step_fn = self._dp_train_jit(sig, mesh)
+            dev_batch = shard_batch(mesh, dev_batch, self._dp_axis)
+            state, logs = step_fn(state, dev_batch, k_step, sched)
+        else:
+            if sig not in self._train_jit:
+                self._train_jit[sig] = jax.jit(
+                    partial(self._train_step_impl, *sig[:3])
+                )
+            state, logs = self._train_jit[sig](state, dev_batch, k_step, sched)
         if capacity is not None:
             self._pair_log.append(
                 (logs["n_pairs_max"], logs["n_dropped_pairs"])

@@ -61,6 +61,43 @@ class Trainer:
         self.ft_retry_wait_s = float(ft.get("retry_wait_s", 10.0))
         self.ft_nan_patience = int(ft.get("nan_patience", 3))
         self._nan_streak = 0
+        self.mesh = self._build_mesh(cfg)
+        if self.mesh is not None and hasattr(self.system, "set_mesh"):
+            self.system.set_mesh(self.mesh)
+            print(
+                f"[trainer] data-parallel over {self.mesh.shape['data']} "
+                f"device(s): {self.mesh}",
+                flush=True,
+            )
+
+    @staticmethod
+    def _build_mesh(cfg: ExperimentConfig):
+        """Camera-sharded data-parallel mesh for training.
+
+        `trainer.devices` semantics follow the reference's Lightning flag
+        (reference launch.py --gpu / trainer.devices): "auto"/unset uses every
+        local device (engaging shard_map only when there is more than one);
+        an integer N requests exactly the first N devices -- N=1 forces the
+        1-device mesh path (useful to validate shard_map on a single chip).
+        """
+        devices = cfg.trainer.get("devices", "auto")
+        all_devs = jax.devices()
+        if devices in ("auto", None, ""):
+            n = len(all_devs)
+            if n <= 1:
+                return None  # bit-identical single-device behavior
+        else:
+            n = int(devices)
+            if n <= 0:
+                return None
+            if n > len(all_devs):
+                raise ValueError(
+                    f"trainer.devices={n} but only {len(all_devs)} "
+                    f"jax devices are visible"
+                )
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(all_devs[:n]), ("data",))
 
     def _init_wandb(self, cfg: ExperimentConfig):
         """Optional wandb logging (reference configs' `loggers.wandb` block,
