@@ -416,15 +416,18 @@ def _gather_bwd_impl(binning, d_pairs, interpret: bool = False):
             binning.pair_gm < binning.n_pairs, binning.pair_gauss, jnp.int32(n)
         )
         f_dim = d_pairs.shape[1]
+        packed_f = 0
         if PACK_GRAD_BITS == 21:
-            from .pack import pack21, unpack21
+            from .pack import pack21
 
             packed = pack21(d_safe)
             sorted_cols = jax.lax.sort(
                 (g_key,) + tuple(packed[:, j] for j in range(packed.shape[1])),
                 num_keys=1,
             )
-            d_g = unpack21(jnp.stack(sorted_cols[1:], axis=1), f_dim)
+            # stays packed: the Pallas segsum unpacks in-register
+            d_g = jnp.stack(sorted_cols[1:], axis=1)
+            packed_f = f_dim
         elif PACK_GRAD_BITS == 16:
             from .pack import pack16, unpack16
 
@@ -452,7 +455,7 @@ def _gather_bwd_impl(binning, d_pairs, interpret: bool = False):
         )
         return segsum_monotone_pallas(
             d_g, sorted_cols[0], binning.n_pairs, n, seg_offsets=offs_o,
-            interpret=interpret,
+            interpret=interpret, packed_f=packed_f,
         )
     sorted_cols = jax.lax.sort(
         (binning.pair_gm,) + tuple(d_pairs[:, j] for j in range(d_pairs.shape[1])),

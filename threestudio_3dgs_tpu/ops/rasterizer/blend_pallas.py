@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .blend_jax import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 BLOCK = 128  # pairs per block (lane dim)
+WSLOTS = 4  # backward writeback ring depth (in-flight output DMAs)
 
 
 def _lane_iota(shape):
@@ -48,7 +49,7 @@ def _tri_incl(shape):
     return (c <= r).astype(jnp.float32)
 
 
-def _cumsum_lane(x):
+def _cumsum_lane(x, terms: int = 3):
     # The triangular matmul is the kernel's FLOP hot spot (npix x 128 x 128
     # per block = 16.8 MMAC, ~5x everything else combined).  The triangular
     # matrix is EXACT in bf16 (zeros/ones), so a 3-term bf16 split of x
@@ -56,12 +57,13 @@ def _cumsum_lane(x):
     # visibly through the per-block transmittance carry over ~50 blocks)
     # needs 3 MXU passes vs 6 for f32 HIGHEST: 2x faster at f32-class
     # accuracy.  Scan inputs are logs in [-4.6, 0] (no cancellation).
+    # terms=2 (error ~2^-18) serves gradient-only scans in the backward,
+    # where 1e-3 is the accuracy budget: one less MXU pass each.
     n = x.shape[1]
     tri = _tri_incl((n, n)).astype(jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     r1 = x - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def mm(a):
         return jax.lax.dot_general(
@@ -71,13 +73,16 @@ def _cumsum_lane(x):
             preferred_element_type=jnp.float32,
         )
 
+    if terms == 2:
+        return mm(hi) + mm(mid)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return mm(hi) + (mm(mid) + mm(lo))
 
 
-def _cumprod_lane(x):
+def _cumprod_lane(x, terms: int = 3):
     # x = 1 - alpha in [1 - ALPHA_MAX, 1]: log is safe; one MXU matmul + two
     # transcendentals beat the 21-op multiplicative scan
-    return jnp.exp(_cumsum_lane(jnp.log(x)))
+    return jnp.exp(_cumsum_lane(jnp.log(x), terms))
 
 
 def _monomial_basis(tile_size: int, npix: int):
@@ -123,6 +128,11 @@ def _coeff_rows(feats, tx0, ty0):
 
 
 def _power_mxu(basis, coeffs):
+    # HIGHEST is load-bearing: the monomial expansion of the quadratic form
+    # has terms up to ~ca*mu^2 (hundreds) cancelling to |power| <= ~12, so a
+    # 3-pass bf16 dot (2^-16) would leak ~1e-2 absolute into the exponent
+    # for small far-from-tile-origin gaussians.  (Mosaic also lowers only
+    # DEFAULT/HIGHEST -- measured round 3.)
     return jax.lax.dot_general(
         basis,
         coeffs,
@@ -232,18 +242,21 @@ def _fwd_kernel(
         rolled = pltpu.roll(cum_incl, 1, axis=1)
         cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
         w = jnp.where(include, alpha * cum_excl, 0.0)
-        colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
+        # [colors; ones] rows: ONE matmul accumulates channels AND the weight
+        # sum (alpha map) -- the separate lane-tree sum of w was ~7 extra VPU
+        # ops on (npix, BLOCK) (matches the jax twin's colors_ext layout)
+        colors_ext = jnp.concatenate(
+            [feats[6 : 6 + n_channels, :], jnp.ones((1, BLOCK), jnp.float32)],
+            axis=0,
+        )  # (C+1, BLOCK)
         acc = jax.lax.dot_general(
             w,
-            colors,
+            colors_ext,
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (npix, C)
-        out_ref[0, :, 0:n_channels] += acc
-        out_ref[0, :, n_channels : n_channels + 1] += jnp.sum(
-            w, axis=1, keepdims=True
-        )
+        )  # (npix, C+1)
+        out_ref[0, :, 0 : n_channels + 1] += acc
         return b + 1, cum_incl[:, BLOCK - 1 : BLOCK]
 
     b_final, _ = jax.lax.while_loop(
@@ -311,7 +324,7 @@ def _bwd_kernel(
     acc_in_hbm,  # ANY (NB, F, BLOCK) zero-initialized, aliased to the output
     dfeats_hbm,  # ANY out (NB, F, BLOCK)
     scratch,  # VMEM (2, F, BLOCK) double-buffered input blocks
-    dscratch,  # VMEM (2, F, BLOCK) double-buffered output blocks
+    dscratch,  # VMEM (WSLOTS, F, BLOCK) ring-buffered output blocks
     merge,  # VMEM (F, BLOCK) previous contents of a shared boundary block
     sem_in,  # DMA (2,)
     sem_merge,
@@ -345,7 +358,7 @@ def _bwd_kernel(
     g_full = g_ref[0]
     u_tot = jnp.sum(g_full * out_full, axis=1, keepdims=True)  # (npix, 1)
     g_colors = g_ref[0, :, 0:n_channels]  # (npix, C)
-    g_alpha = g_ref[0, :, n_channels : n_channels + 1]  # (npix, 1)
+    g_ext = g_ref[0, :, 0 : n_channels + 1]  # (npix, C+1) [g_colors | g_alpha]
 
     b0 = start // BLOCK
     b1 = pl.cdiv(end, BLOCK)
@@ -381,6 +394,7 @@ def _bwd_kernel(
     def body(carry):
         b, raw, prefix = carry
         s = jax.lax.rem(b - b0, 2)
+        ws = jax.lax.rem(b - b0, WSLOTS)
 
         @pl.when(b + 1 < b1)
         def _():
@@ -396,36 +410,41 @@ def _bwd_kernel(
         alpha, alpha_raw, ok = _block_alpha_mxu(power, opa, pmask)
         unclamped = ok & (alpha_raw < ALPHA_MAX)
         om = 1.0 - alpha
-        cum_incl = raw * _cumprod_lane(om)
+        # gradient-only path: 2-term scan splits (err ~2^-18 vs the 1e-3
+        # grad budget) -- one less MXU pass per scan than the forward
+        cum_incl = raw * _cumprod_lane(om, terms=2)
         include = cum_incl >= T_EPS
-        rolled = pltpu.roll(cum_incl, 1, axis=1)
-        cum_excl = jnp.where(_lane_iota(cum_incl.shape) >= 1, rolled, raw)
+        # exclusive transmittance by division: cum_incl = cum_excl * om
+        # exactly, om >= 1 - ALPHA_MAX = 0.01 always (alpha clamped), and
+        # om_recip is reused by the d_power suffix term -- replaces the
+        # roll + lane-iota select (~1ulp numerics delta vs the forward's
+        # shifted form, absorbed by the grad budget)
+        om_recip = 1.0 / om
+        cum_excl = cum_incl * om_recip
         w = jnp.where(include, alpha * cum_excl, 0.0)
 
-        colors = feats[6 : 6 + n_channels, :]  # (C, BLOCK)
-        # u_i = <colors_i, g> + g_alpha : (npix, BLOCK) via MXU
-        u = (
-            jax.lax.dot_general(
-                g_colors,
-                colors,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            + g_alpha
+        colors_ext = jnp.concatenate(
+            [feats[6 : 6 + n_channels, :], jnp.ones((1, BLOCK), jnp.float32)],
+            axis=0,
+        )  # (C+1, BLOCK)
+        # u_i = <colors_i, g> + g_alpha in ONE matmul via the ones row
+        u = jax.lax.dot_general(
+            g_ext,
+            colors_ext,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
         uw = u * w
-        prefix_inc = prefix + _cumsum_lane(uw)
+        prefix_inc = prefix + _cumsum_lane(uw, terms=2)
         suffix = u_tot - prefix_inc
 
         # d_power = opa*gauss * d_alpha, consolidated: on live lanes
         # alpha = opa*gauss, so opa*gauss*(u*cum_excl) = u*w = uw (already
         # computed for the prefix scan) and opa*gauss*(suffix/om) =
-        # suffix*(alpha/om).  om = 1 - alpha >= 1 - ALPHA_MAX > 0 always
-        # (alpha is clamped), so the division needs no guard.  Saves ~3
-        # (npix, BLOCK) VPU ops + the old d_alpha/d_gauss_term chain.
+        # suffix*(alpha*om_recip).
         d_power = jnp.where(
-            include & unclamped, uw - suffix * (alpha / om), 0.0
+            include & unclamped, uw - suffix * (alpha * om_recip), 0.0
         )
         keep = jnp.where(pmask, 1.0, 0.0)  # (1, BLOCK)
         # every mean/covariance/opacity gradient is a combination of the six
@@ -462,14 +481,16 @@ def _bwd_kernel(
             axis=0,
         ) * keep
 
-        # reuse of dscratch[s]: the write started two iterations ago on this
-        # slot must have landed
-        @pl.when(b - 2 >= b0)
+        # reuse of dscratch[ws]: the write started WSLOTS iterations ago on
+        # this slot must have landed (a deeper ring keeps more writebacks in
+        # flight -- with 2 slots the wait landed inside the very next
+        # iteration's critical path)
+        @pl.when(b - WSLOTS >= b0)
         def _():
-            wr(b - 2, s).wait()
+            wr(b - WSLOTS, ws).wait()
 
-        dscratch[s] = d_all + jnp.where(b == b0, merge[...], 0.0)
-        wr(b, s).start()
+        dscratch[ws] = d_all + jnp.where(b == b0, merge[...], 0.0)
+        wr(b, ws).start()
 
         return (
             b + 1,
@@ -492,13 +513,10 @@ def _bwd_kernel(
     # so the loop always runs at least once when the tile owns any block --
     # the b0 read is consumed inside the first iteration's wait.)
 
-    @pl.when(b_final - 1 >= b0)
-    def _():
-        wr(b_final - 1, jax.lax.rem(b_final - 1 - b0, 2)).wait()
-
-    @pl.when(b_final - 2 >= b0)
-    def _():
-        wr(b_final - 2, jax.lax.rem(b_final - 2 - b0, 2)).wait()
+    for k in range(1, WSLOTS + 1):
+        @pl.when(b_final - k >= b0)
+        def _(k=k):
+            wr(b_final - k, jax.lax.rem(b_final - k - b0, WSLOTS)).wait()
 
 
 def blend_backward_pallas(
@@ -543,11 +561,11 @@ def blend_backward_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, f8, BLOCK), jnp.float32),
-            pltpu.VMEM((2, f8, BLOCK), jnp.float32),
+            pltpu.VMEM((WSLOTS, f8, BLOCK), jnp.float32),
             pltpu.VMEM((f8, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((WSLOTS,)),
         ],
     )
     acc0 = jnp.zeros((nb, f8, BLOCK), jnp.float32)

@@ -93,6 +93,27 @@ def unpack21(packed: jnp.ndarray, f: int) -> jnp.ndarray:
     return jnp.stack(cols, axis=1)
 
 
+def unpack21_rows(packed: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Row-major twin of unpack21 for kernel use: (W, B) uint32 -> (f, B) f32.
+
+    Mirrors unpack21's bit layout with values on ROWS (the Pallas segsum
+    block layout puts pairs on lanes); built from bitwise ops + a 32-bit
+    bitcast only, so it lowers inside a Mosaic kernel."""
+    rows = []
+    w = 0
+    for i in range(0, f, 3):
+        n = min(3, f - i)
+        if n >= 1:
+            rows.append(_from_top_bits(packed[w] & jnp.uint32(0x1FFFFF), 21))
+        if n >= 2:
+            v1 = (packed[w] >> 21) | (packed[w + 1] & jnp.uint32(0x3FF)) << 11
+            rows.append(_from_top_bits(v1, 21))
+        if n == 3:
+            rows.append(_from_top_bits(packed[w + 1] >> 10, 21))
+        w += 2 if n >= 2 else 1
+    return jnp.stack(rows, axis=0)
+
+
 def pack16(cols: jnp.ndarray) -> jnp.ndarray:
     """(P, F) f32 -> (P, ceil(F/2)) uint32, 2 bfloat16-precision values/word."""
     p, f = cols.shape

@@ -88,18 +88,31 @@ def project_gaussians(
     n = means3d.shape[0]
 
     # ---- view transform + frustum cull -----------------------------------
-    p_view = means3d @ camera.w2c[:3, :3].T + camera.w2c[:3, 3]
-    depth = p_view[..., 2]
+    # hand-expanded matvecs: a (N, 3) @ (3, 3) dot_general pads K=N=3 up to
+    # the 128x128 MXU tile (~40x wasted work at 1M rows) or forces relayouts;
+    # 9 VPU multiply-adds on the already-split columns fuse into the
+    # surrounding elementwise chain instead (PERF.md round 3)
+    m_x, m_y, m_z = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    w2c = camera.w2c
+
+    def _mv3(r):
+        return m_x * r[0] + m_y * r[1] + m_z * r[2] + r[3]
+
+    p_view_x = _mv3(w2c[0])
+    p_view_y = _mv3(w2c[1])
+    depth = _mv3(w2c[2])
     in_frustum = depth > 0.2
     if alive is not None:
         in_frustum = in_frustum & alive
     safe_depth = jnp.where(in_frustum, depth, 1.0)
 
     # ---- perspective projection to pixels --------------------------------
-    p_hom = means3d @ camera.full_proj[:3, :3].T + camera.full_proj[:3, 3]
-    w_hom = means3d @ camera.full_proj[3, :3] + camera.full_proj[3, 3]
+    fp = camera.full_proj
+    hom_x = _mv3(fp[0])
+    hom_y = _mv3(fp[1])
+    w_hom = _mv3(fp[3])
     rw = 1.0 / (jnp.where(in_frustum, w_hom, 1.0) + 1e-7)
-    ndc_xy = p_hom[..., :2] * rw[..., None]
+    ndc_xy = jnp.stack([hom_x, hom_y], axis=-1) * rw[..., None]
     sizes = jnp.array([width, height], jnp.float32)
     means2d = ((ndc_xy + 1.0) * sizes - 1.0) * 0.5
     if means2d_offset is not None:
@@ -111,8 +124,8 @@ def project_gaussians(
     focal_y = height / (2.0 * camera.tanfovy)
     limx = 1.3 * camera.tanfovx
     limy = 1.3 * camera.tanfovy
-    tx = jnp.clip(p_view[..., 0] / safe_depth, -limx, limx) * safe_depth
-    ty = jnp.clip(p_view[..., 1] / safe_depth, -limy, limy) * safe_depth
+    tx = jnp.clip(p_view_x / safe_depth, -limx, limx) * safe_depth
+    ty = jnp.clip(p_view_y / safe_depth, -limy, limy) * safe_depth
     tz = safe_depth
 
     inv_z = 1.0 / tz

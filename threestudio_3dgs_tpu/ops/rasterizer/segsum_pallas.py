@@ -36,7 +36,7 @@ CCHUNK = 512  # output columns per one-hot matmul chunk
 
 
 def _kernel(starts_ref, vals_hbm, slots_hbm, out_hbm, vscr, sscr, oscr,
-            sem_v, sem_s, sem_w, *, f8, nblk):
+            sem_v, sem_s, sem_w, *, f8, nblk, packed_f=0):
     k = pl.program_id(0)
     col0 = k * SEGT
     start = starts_ref[k]
@@ -66,7 +66,19 @@ def _kernel(starts_ref, vals_hbm, slots_hbm, out_hbm, vscr, sscr, oscr,
         for c in rd(b, s):
             c.wait()
         rel = sscr[s][0:1, :] - col0  # (1, BLK) target column per pair
-        v_f32 = vscr[s]  # (F8, BLK)
+        if packed_f:
+            # 21-bit packed gradient words straight off the reduction sort:
+            # unpack in-register, skipping the (P, F) f32 intermediate the
+            # XLA-side unpack would materialize (~160 MB r+w at 2M pairs)
+            from .pack import unpack21_rows
+
+            v_un = unpack21_rows(vscr[s], packed_f)  # (packed_f, BLK)
+            v_f32 = jnp.concatenate(
+                [v_un, jnp.zeros((f8 - packed_f, v_un.shape[1]), jnp.float32)],
+                axis=0,
+            )
+        else:
+            v_f32 = vscr[s]  # (F8, BLK)
         # 2-term bf16 split (residual ~2^-18 relative): these are gradient
         # sums with no compounding carry, well under grad noise tolerance
         v_hi = v_f32.astype(jnp.bfloat16)
@@ -106,23 +118,35 @@ def segsum_monotone_pallas(
     n_segments: int,
     interpret: bool = False,
     seg_offsets: jnp.ndarray | None = None,  # (n_segments,) first pair per seg
+    packed_f: int = 0,  # >0: vals is (P, W) uint32 pack21 words of packed_f cols
 ) -> jnp.ndarray:
     """Returns (n_segments, F) sums.  Rows >= n_pairs must already be zero in
     `vals` (the caller masks them; their slots may be garbage -- they select
     zero rows at worst).  `seg_offsets` (binning.offsets) skips the
-    searchsorted for the per-tile pair ranges."""
-    p, f = vals.shape
+    searchsorted for the per-tile pair ranges.  With `packed_f`, the value
+    columns arrive as 21-bit packed words (ops/rasterizer/pack.py) and are
+    unpacked in-register -- half the input DMA and no f32 intermediate."""
+    p, w_or_f = vals.shape
+    f = packed_f or w_or_f
     f8 = (f + 7) // 8 * 8
     nblk = (p + BLK - 1) // BLK
     p_pad = nblk * BLK
     nk = (n_segments + SEGT - 1) // SEGT
     n_pad = nk * SEGT
 
-    vals_b = (
-        jnp.pad(vals, ((0, p_pad - p), (0, f8 - f)))
-        .reshape(nblk, BLK, f8)
-        .transpose(0, 2, 1)
-    )  # (NBLK, F8, BLK)
+    if packed_f:
+        w8 = (w_or_f + 7) // 8 * 8
+        vals_b = (
+            jnp.pad(vals, ((0, p_pad - p), (0, w8 - w_or_f)))
+            .reshape(nblk, BLK, w8)
+            .transpose(0, 2, 1)
+        )  # (NBLK, W8, BLK) uint32
+    else:
+        vals_b = (
+            jnp.pad(vals, ((0, p_pad - p), (0, f8 - f)))
+            .reshape(nblk, BLK, f8)
+            .transpose(0, 2, 1)
+        )  # (NBLK, F8, BLK)
     slots_p = jnp.pad(slots, (0, p_pad - p), constant_values=-1)
     slots_b = jnp.broadcast_to(
         slots_p.reshape(nblk, 1, BLK), (nblk, 8, BLK)
@@ -154,7 +178,10 @@ def segsum_monotone_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, f8, BLK), jnp.float32),
+            pltpu.VMEM(
+                (2,) + vals_b.shape[1:],
+                jnp.uint32 if packed_f else jnp.float32,
+            ),
             pltpu.VMEM((2, 8, BLK), jnp.int32),
             pltpu.VMEM((f8, SEGT), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -163,7 +190,7 @@ def segsum_monotone_pallas(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, f8=f8, nblk=nblk),
+        functools.partial(_kernel, f8=f8, nblk=nblk, packed_f=packed_f),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((f8, n_pad), jnp.float32),
         interpret=interpret,
