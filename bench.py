@@ -76,12 +76,11 @@ def main():
     c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, eye
 
     cam = cam_mod.camera_from_c2w(jnp.asarray(c2w), 0.9, 0.9, height, width)
-    # pair capacity right-sized to the scene (1.675M pairs measured, ~10%
-    # headroom; n_dropped stays 0) -- the CUDA reference allocates its pair
-    # buffers exactly per frame, a static capacity is the TPU equivalent
-    # measured demand 1.491M pairs after exact pre-expansion culling
-    # (+10% headroom, 256k-bucketed -- mirrors the adaptive sizing)
-    cfg = RasterizeConfig(tile_size=32, max_pairs=1664 * 1024)
+    # pair capacity right-sized to the scene -- the CUDA reference allocates
+    # its pair buffers exactly per frame; a static capacity is the TPU
+    # equivalent.  Measured demand 1.491M pairs after exact pre-expansion
+    # culling; ~5% headroom keeps n_dropped == 0 (asserted below).
+    cfg = RasterizeConfig(tile_size=32, max_pairs=1536 * 1024)
 
     means_j = jnp.asarray(means)
     scales_j = jnp.asarray(scales)
@@ -92,22 +91,31 @@ def main():
 
     def loss_fn(ms, sc, qt, op, co):
         out = rasterize(ms, sc, qt, op, cam, bg, colors=co, config=cfg)
-        return jnp.sum(out["image"]) + jnp.sum(out["alpha"]) + jnp.sum(out["depth"])
+        loss = jnp.sum(out["image"]) + jnp.sum(out["alpha"]) + jnp.sum(out["depth"])
+        return loss, out["n_dropped"]
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    step = jax.jit(
+        jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)
+    )
 
     # warmup / compile
-    grads = step(means_j, scales_j, quats_j, opac_j, colors_j)
+    grads, dropped = step(means_j, scales_j, quats_j, opac_j, colors_j)
     jax.block_until_ready(grads)
+    # the right-sized capacity must not drop pairs (silent quality loss
+    # would invalidate the number); checked inside the SAME program so it
+    # costs no extra compile through the tunnel
+    dropped = int(np.asarray(dropped))
+    assert dropped == 0, f"bench capacity drops {dropped} pairs"
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        grads = step(means_j, scales_j, quats_j, opac_j, colors_j)
+        grads, _ = step(means_j, scales_j, quats_j, opac_j, colors_j)
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / iters
 
     pix_per_sec = height * width / dt
+
     result = {
         "metric": "pixels_per_sec_per_chip_fwd_bwd_1M_512",
         "value": round(pix_per_sec, 1),

@@ -97,9 +97,14 @@ def main():
         state2, logs = step(state, batch, key, sched)
         jax.block_until_ready(state2)
         compile_s = time.time() - t0
+        # SECOND warm step: state2 carries the mesh sharding the first
+        # (unsharded-input) call lacked -- timing from `state` would hide a
+        # full recompile inside the loop (round-3 finding: 18 s/"step")
+        state3, _ = step(state2, batch, key, sched)
+        jax.block_until_ready(state3)
 
         t0 = time.time()
-        s = state
+        s = state3
         for _ in range(args.iters):
             s, logs = step(s, batch, key, sched)
         jax.block_until_ready(s)

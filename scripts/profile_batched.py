@@ -76,21 +76,32 @@ def main():
         return jnp.sum(out["image"] ** 2) + jnp.sum(out["alpha"])
 
     for name, fn in [("loop", loss_loop), ("batched", loss_batched)]:
-        g = jax.jit(jax.grad(fn, argnums=(0, 1, 2, 3, 4)))
+        # SERIAL CHAIN: feed each iteration's mean-gradient back into the
+        # means so no two dispatches are identical -- the axon tunnel elides
+        # repeated identical calls and reports absurd throughputs otherwise
+        # (PERF.md measurement pitfalls; caught live in round 3: a naive
+        # repeat "measured" the batched path at 4400 Mpix/s)
+        def chained(m, s, q, o, c):
+            g = jax.grad(fn, argnums=(0,))
+            def body(i, mm):
+                (gm,) = g(mm, s, q, o, c)
+                return mm + 1e-6 * gm
+            return jax.lax.fori_loop(0, args.iters, body, m)
+
+        step = jax.jit(chained)
         t0 = time.time()
-        out = g(means, scales, quats, opac, colors)
+        out = step(means, scales, quats, opac, colors)
         jax.block_until_ready(out)
         compile_s = time.time() - t0
-        # warm steps, pipelined dispatch + one final sync (PERF.md pitfalls)
         t0 = time.time()
-        for _ in range(args.iters):
-            out = g(means, scales, quats, opac, colors)
+        out = step(means, scales, quats, opac, colors)
         jax.block_until_ready(out)
         dt = (time.time() - t0) / args.iters
         pix = b * res * res
         print(
             f"{name:8s} compile {compile_s:6.1f}s  step {dt * 1e3:8.2f} ms "
-            f"({pix / dt / 1e6:6.2f} Mpix/s fwd+bwd)"
+            f"({pix / dt / 1e6:6.2f} Mpix/s fwd+bwd, grad wrt means, "
+            f"serial chain x{args.iters})"
         )
 
 

@@ -83,11 +83,22 @@ def main():
     jax.block_until_ready(state.gauss.params.xyz)
     print(f"compile+first step: {time.perf_counter() - t0:.1f} s")
 
-    # async-pipelined steps, one final sync (PERF.md tunnel pitfalls)
+    # pre-stage the camera batches on device BEFORE timing: per-step host ->
+    # device transfers through the axon tunnel cost 10s-100s of ms each and
+    # measure the link, not the chip (PERF.md pitfalls)
+    from threestudio_3dgs_tpu.systems.base import to_device_batch
+
+    staged = []
+    for _ in range(args.steps):
+        db = to_device_batch(sampler.sample())
+        staged.append(db)
+    jax.block_until_ready([v for d in staged for v in d.values()
+                           if hasattr(v, "block_until_ready")])
+
+    # async-pipelined steps, one final sync
     t0 = time.perf_counter()
     for s in range(1, args.steps + 1):
-        batch = sampler.sample()
-        state, logs = system.train_step(state, batch, s, key)
+        state, logs = system.train_step(state, staged[s - 1], s, key)
     jax.block_until_ready(state.gauss.params.xyz)
     dt = (time.perf_counter() - t0) / args.steps
     loss = float(np.asarray(logs["train/loss_total"]))

@@ -13,10 +13,10 @@ echo "log -> $LOG"
   timeout 300 python -c "import jax; print(jax.devices())" || exit 1
 
   echo "=== bench.py (headline metric) ==="
-  timeout 580 python bench.py
+  timeout 1700 python bench.py
 
   echo "=== training drive (30 steps, 256^2, fake guidance) ==="
-  timeout 560 python -m threestudio_3dgs_tpu.launch \
+  timeout 2300 python -u -m threestudio_3dgs_tpu.launch \
     --config threestudio_3dgs_tpu/configs/gaussian_splatting.yaml --train \
     trainer.max_steps=30 trainer.val_check_interval=30 \
     data.height=256 data.width=256 data.batch_size=2 \
@@ -29,10 +29,17 @@ echo "log -> $LOG"
   timeout 580 python scripts/check_bin_fused.py 2>/dev/null || \
     echo "(probe script optional)"
 
-  echo "=== hardware dryrun: Pallas under shard_map at training scale ==="
-  timeout 580 python __graft_entry__.py hw
+  echo "=== hardware dryrun: shard_map at scale + dp train step on chip ==="
+  timeout 1800 python __graft_entry__.py hw
+
+  echo "=== dp train step via the production trainer (1-device mesh) ==="
+  timeout 1800 python scripts/profile_trainstep.py --res 256 --b 2 \
+    --n 50000 --steps 5 --max-pairs $((512*1024)) --mesh 1
 
   echo "=== render-quality floor (Pallas vs oracle PSNR) ==="
-  RUN_ON_TPU=1 timeout 580 python -m pytest tests/test_quality_regression.py -x -q -s
+  RUN_ON_TPU=1 timeout 1700 python -m pytest tests/test_quality_regression.py -x -q -s
+
+  echo "=== kernel parity on hardware (compiled-mode atol 5e-4) ==="
+  RUN_ON_TPU=1 timeout 1700 python -m pytest tests/test_blend_pallas.py -q
 } 2>&1 | tee "$LOG"
 echo "DONE -> $LOG"
