@@ -90,7 +90,11 @@ def main():
 
     staged = []
     for _ in range(args.steps):
-        db = to_device_batch(sampler.sample())
+        raw = sampler.sample()
+        db = to_device_batch(raw)
+        # train_step reads height/width host-side (static shape info, dropped
+        # by to_device_batch); keep them in the staged dict
+        db["height"], db["width"] = raw["height"], raw["width"]
         staged.append(db)
     jax.block_until_ready([v for d in staged for v in d.values()
                            if hasattr(v, "block_until_ready")])

@@ -53,6 +53,13 @@ class RendererConfig:
     # tile rows; see ops/rasterizer/api.py::rasterize_batched); falls back to
     # the per-view loop for renderers that override render_one
     batched: bool = True
+    # engage the single-pass path only while the per-view pair capacity is
+    # small: its B*cap shared-pool sorts outgrow the dispatch savings at
+    # training scale (measured round 3: B=4 @256^2 100k gaussians, loop
+    # 63.7 ms vs batched 72.4 ms; same direction at 512^2).  Small scenes /
+    # early training (the adaptive capacity's lower buckets) still win from
+    # amortizing B dispatches into one
+    batched_max_pairs: int = 262144
 
 
 class GaussianRendererBase:
@@ -302,7 +309,15 @@ class GaussianRendererBase:
         # fast path: the whole camera batch in ONE rasterizer pipeline pass
         # (views stacked as tile rows; ops/rasterizer/api.py).  Renderers
         # that override render_one (sugar/spacetime) keep the per-view loop.
-        use_batched = self.cfg.batched and bs > 1 and self.supports_batched
+        # At large per-view pair capacities the shared-pool sorts cost more
+        # than B dispatches save (see cfg.batched_max_pairs).
+        per_view_cap = self.max_pairs_override or self.cfg.max_pairs
+        use_batched = (
+            self.cfg.batched
+            and bs > 1
+            and self.supports_batched
+            and per_view_cap <= self.cfg.batched_max_pairs
+        )
         if use_batched:
             return self._batch_forward_batched(
                 gauss, batch, cameras, keys,
