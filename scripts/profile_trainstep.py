@@ -82,6 +82,12 @@ def main():
     state, logs = system.train_step(state, batch, 0, key)
     jax.block_until_ready(state.gauss.params.xyz)
     print(f"compile+first step: {time.perf_counter() - t0:.1f} s")
+    # second warm step: on a mesh the first call consumed the UNSHARDED
+    # init state and its output now carries mesh shardings -- without this
+    # the recompile for the sharded-input signature lands inside the timed
+    # loop (same trap bench_scaling had)
+    state, logs = system.train_step(state, batch, 0, key)
+    jax.block_until_ready(state.gauss.params.xyz)
 
     # pre-stage the camera batches on device BEFORE timing: per-step host ->
     # device transfers through the axon tunnel cost 10s-100s of ms each and
