@@ -33,19 +33,19 @@ MXU_PEAK_F32 = MXU_PEAK_BF16 / 8
 
 
 def chain_time(fn, x, iters=8):
-    """Serial chain: each call consumes the previous result."""
+    """Serial chain: each call consumes the previous result.
 
-    @jax.jit
-    def chained(x0):
-        def body(i, x):
-            return fn(x)
-
-        return jax.lax.fori_loop(0, iters, body, x0)
-
-    r = chained(x)  # compile + warm
+    Python-level chaining of ONE jitted apply (not a fori_loop of the body:
+    the rolled SD2.1 graph reproducibly broke the tunnel's remote_compile
+    with a broken pipe ~20 min in).  Data dependency between calls defeats
+    the tunnel's identical-dispatch elision; dispatches still pipeline, one
+    final sync."""
+    step = jax.jit(fn)
+    r = step(x)  # compile + warm
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    r = chained(x)
+    for _ in range(iters):
+        r = step(r)
     jax.block_until_ready(r)
     return (time.perf_counter() - t0) / iters * 1000
 
