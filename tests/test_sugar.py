@@ -208,6 +208,87 @@ class TestDynamicSuGaR:
         assert arrays["quats"].shape == (ng, 4)
         assert np.isfinite(np.asarray(arrays["means3d"])).all()
 
+    def test_d_scale_knots_change_timed_scales(self):
+        # reference geometry/dynamic_sugar.py:639-649: nonzero node scale
+        # deltas must move the activated timed scales at that frame only
+        model = self._model(d_scale=True)
+        state = model.init_state(0)
+        assert state.params.node_scales is not None
+        base = np.asarray(model.get_timed_gs_arrays(state, 0.0, 2)["scales"])
+        ns = np.zeros(np.asarray(state.params.node_scales).shape, np.float32)
+        ns[:, 2, :] = [0.0, 0.7, 0.7]  # frame 2: grow both in-plane axes
+        state = state.replace(
+            params=state.params.replace(node_scales=jnp.asarray(ns))
+        )
+        timed = np.asarray(model.get_timed_gs_arrays(state, 0.0, 2)["scales"])
+        other = np.asarray(model.get_timed_gs_arrays(state, 0.0, 0)["scales"])
+        np.testing.assert_allclose(timed[:, 1:], base[:, 1:] * np.exp(0.7), rtol=1e-4)
+        np.testing.assert_allclose(timed[:, 0], base[:, 0], atol=1e-6)  # thickness
+        np.testing.assert_allclose(other, base, atol=1e-5)  # other frames
+
+    def test_d_opacity_knots_change_timed_opacity(self):
+        model = self._model(d_opacity=True)
+        state = model.init_state(0)
+        base = np.asarray(model.get_timed_gs_arrays(state, 0.0, 1)["opacities"])
+        no = np.zeros(np.asarray(state.params.node_opacity).shape, np.float32)
+        no[:, 1, :] = -3.0
+        state = state.replace(
+            params=state.params.replace(node_opacity=jnp.asarray(no))
+        )
+        timed = np.asarray(model.get_timed_gs_arrays(state, 0.0, 1)["opacities"])
+        assert (timed < base - 1e-3).all()
+
+    def test_per_vertex_mode(self):
+        # reference geometry/dynamic_sugar.py:117-130: non-graph mode learns
+        # per-VERTEX transforms; here nodes == vertices with identity skinning
+        model = self._model(use_deform_graph=False)
+        state = model.init_state(0)
+        n_verts = state.params.points.shape[0]
+        assert state.params.node_trans.shape[0] == n_verts
+        assert state.skin_idx.shape == (n_verts, 1)
+        trans = np.zeros(np.asarray(state.params.node_trans).shape, np.float32)
+        trans[:, 1, :] = [0.0, 0.25, 0.0]
+        state = state.replace(
+            params=state.params.replace(node_trans=jnp.asarray(trans))
+        )
+        v = np.asarray(model.timed_vertices(state, 0.0, 1))
+        delta = v - np.asarray(state.params.points)
+        np.testing.assert_allclose(delta[:, 1], 0.25, atol=1e-5)
+        np.testing.assert_allclose(delta[:, [0, 2]], 0.0, atol=1e-5)
+
+    def test_d_scale_splined(self):
+        # spline mode: deltas at knot-interior times interpolate smoothly
+        cfg = DynamicSuGaRConfig(
+            n_gaussians_per_surface_triangle=1,
+            n_dg_nodes=32,
+            dg_node_connectivity=4,
+            num_frames=6,
+            use_spline=True,
+            d_scale=True,
+        )
+        model = DynamicSuGaRModel(cfg)
+        verts, faces = make_sphere_mesh()
+        model.bind_mesh(verts, faces)
+        state = model.init_state(0)
+        ns = np.full(np.asarray(state.params.node_scales).shape, 0.5, np.float32)
+        state = state.replace(
+            params=state.params.replace(node_scales=jnp.asarray(ns))
+        )
+        s = np.asarray(model.get_timed_gs_arrays(state, 0.5, None)["scales"])
+        base = np.asarray(
+            model.get_timed_gs_arrays(
+                state.replace(
+                    params=state.params.replace(
+                        node_scales=jnp.zeros_like(state.params.node_scales)
+                    )
+                ),
+                0.5,
+                None,
+            )["scales"]
+        )
+        # constant knots -> the basis-weighted sum reproduces the constant
+        np.testing.assert_allclose(s[:, 1:], base[:, 1:] * np.exp(0.5), rtol=1e-4)
+
 
 class TestSugar4DEndToEnd:
     def test_motion_smoke(self, tmp_path):

@@ -56,6 +56,16 @@ class DynamicSuGaRParams:
     densities: jnp.ndarray
     node_trans: Optional[jnp.ndarray] = None  # (M, T, 3)
     node_rots: Optional[jnp.ndarray] = None  # (M, T, 4) raw wxyz
+    # per-node log-scale deltas, skinned to vertices and added to the raw
+    # (pre-exp) Gaussian scales (reference geometry/dynamic_sugar.py:68,
+    # 108-113: d_scale defaults True, zero-init)
+    node_scales: Optional[jnp.ndarray] = None  # (M, T, 3)
+    # per-node pre-sigmoid opacity deltas.  The reference declares d_opacity
+    # (reference geometry/dynamic_sugar.py:67) and produces deltas only from
+    # the deformation network (:462,597) but never composes them into the
+    # rendered opacity; here the knots exist in discrete mode too and ARE
+    # applied (densities + delta before sigmoid) -- the completed intent.
+    node_opacity: Optional[jnp.ndarray] = None  # (M, T, 1)
 
 
 @struct.dataclass
@@ -87,8 +97,18 @@ class DynamicSuGaRConfig(SuGaRConfig):
     skinning_method: str = "lbs"  # 'lbs' | 'dqs'
     dg_dist_mode: str = "euclidean"  # 'euclidean' | 'geodesic' (heat method)
     use_spline: bool = True
+    # per-vertex (non-graph) transform mode: every vertex is its own node
+    # with weight 1 -- skinning degenerates to direct per-vertex transforms
+    # (reference geometry/dynamic_sugar.py:117-130 _vert_trans/_vert_rots/
+    # _vert_scales; there the non-graph parameters replace positions, here
+    # they stay DELTAS about the rest pose for consistency with graph mode)
+    use_deform_graph: bool = True
+    d_scale: bool = True  # learn per-node scale deltas (reference :68)
+    d_opacity: bool = False  # learn per-node opacity deltas (reference :67)
     d_xyz_lr: Any = 0.001
     d_rot_lr: Any = 0.0001
+    d_scale_lr: Any = 0.001  # reference dg_scale_lr / vert_scale_lr
+    d_opacity_lr: Any = 0.001
 
 
 def skinning_weights(verts: np.ndarray, nodes: np.ndarray, k: int):
@@ -142,6 +162,46 @@ def node_transforms_at(
     return trans_knots[:, f], quat_knots[:, f]
 
 
+def node_deltas_at(
+    knots: Optional[jnp.ndarray],  # (M, T, C) vector knot track
+    cfg: DynamicSuGaRConfig,
+    timestamp,
+    frame_idx,
+) -> Optional[jnp.ndarray]:
+    """Per-node vector deltas (scale / opacity) at a time point, splined with
+    the same basis as the translations (reference dynamic_sugar.py:389-392,
+    407-415 set_data('scale') on the shared spliner)."""
+    if knots is None:
+        return None
+    if cfg.use_spline:
+        t = jnp.asarray(timestamp, jnp.float32)
+        return spline.spline_eval_vec(knots, t, degree=3)
+    return knots[:, frame_idx]
+
+
+def skin_vector_attrs(
+    node_vals: jnp.ndarray,  # (M, C)
+    skin_idx: jnp.ndarray,  # (V, K)
+    skin_w: jnp.ndarray,  # (V, K)
+) -> jnp.ndarray:
+    """Skinning-weighted blend of per-node vector attributes onto vertices
+    (reference _get_timed_vertex_attributes_from_dg scale branch)."""
+    return jnp.sum(skin_w[..., None] * node_vals[skin_idx], axis=1)
+
+
+def gaussian_vertex_blend(
+    vert_vals: jnp.ndarray,  # (V, C)
+    faces: jnp.ndarray,  # (F, 3)
+    bary: jnp.ndarray,  # (G, 3) barycenters per face
+) -> jnp.ndarray:
+    """(F*G, C): barycentric blend of per-vertex attributes onto the
+    surface-bound Gaussians (reference get_timed_gs_attributes:
+    (_gs_bary_weights * vert_timed_dscales).sum)."""
+    fv = vert_vals[faces]  # (F, 3, C)
+    out = jnp.einsum("gk,fkc->fgc", bary, fv)
+    return out.reshape(-1, fv.shape[-1])
+
+
 def skin_vertices(
     verts: jnp.ndarray,  # (V, 3) rest
     nodes: jnp.ndarray,  # (M, 3)
@@ -178,20 +238,28 @@ class DynamicSuGaRModel(SuGaRModel):
         cfg: DynamicSuGaRConfig = self.cfg
         verts = np.asarray(base.params.points)
         rng = np.random.default_rng(seed)
-        m = min(cfg.n_dg_nodes, len(verts))
-        node_ids = rng.choice(len(verts), size=m, replace=False)
-        nodes = verts[node_ids]
-        if cfg.dg_dist_mode == "geodesic":
-            skin_idx, skin_w = skinning_weights_geodesic(
-                verts,
-                np.asarray(base.faces),
-                node_ids,
-                min(cfg.dg_node_connectivity, m),
-            )
+        if cfg.use_deform_graph:
+            m = min(cfg.n_dg_nodes, len(verts))
+            node_ids = rng.choice(len(verts), size=m, replace=False)
+            nodes = verts[node_ids]
+            if cfg.dg_dist_mode == "geodesic":
+                skin_idx, skin_w = skinning_weights_geodesic(
+                    verts,
+                    np.asarray(base.faces),
+                    node_ids,
+                    min(cfg.dg_node_connectivity, m),
+                )
+            else:
+                skin_idx, skin_w = skinning_weights(
+                    verts, nodes, min(cfg.dg_node_connectivity, m)
+                )
         else:
-            skin_idx, skin_w = skinning_weights(
-                verts, nodes, min(cfg.dg_node_connectivity, m)
-            )
+            # per-vertex mode: nodes == vertices, identity skinning -- the
+            # graph machinery degenerates to direct per-vertex transforms
+            m = len(verts)
+            nodes = verts
+            skin_idx = np.arange(m, dtype=np.int32)[:, None]
+            skin_w = np.ones((m, 1), np.float32)
 
         t = cfg.num_frames
         rots0 = np.zeros((m, t, 4), np.float32)
@@ -205,6 +273,8 @@ class DynamicSuGaRModel(SuGaRModel):
             densities=base.params.densities,
             node_trans=jnp.zeros((m, t, 3)),
             node_rots=jnp.asarray(rots0),
+            node_scales=jnp.zeros((m, t, 3)) if cfg.d_scale else None,
+            node_opacity=jnp.zeros((m, t, 1)) if cfg.d_opacity else None,
         )
         return DynamicSuGaRState(
             params=params,
@@ -233,6 +303,8 @@ class DynamicSuGaRModel(SuGaRModel):
             densities=base.densities,
             node_trans=c(cfg.d_xyz_lr),
             node_rots=c(cfg.d_rot_lr),
+            node_scales=c(cfg.d_scale_lr) if cfg.d_scale else None,
+            node_opacity=c(cfg.d_opacity_lr) if cfg.d_opacity else None,
         )
 
     # -- timed evaluation ----------------------------------------------------
@@ -275,13 +347,31 @@ class DynamicSuGaRModel(SuGaRModel):
             state, timestamp, frame_idx, deformation_params
         )
         p = state.params
+        cfg: DynamicSuGaRConfig = self.cfg
+        scales_raw = p.scales
+        densities = p.densities
+        if p.node_scales is not None:
+            # node log-scale deltas -> skinned to vertices -> barycentric to
+            # Gaussians -> added to the raw scales before exp.  The reference
+            # adds d_scale to [0, _scales] and discards the first (thickness)
+            # component after activation (dynamic_sugar.py:639-649); adding
+            # only components 1:3 here is identical.
+            nd = node_deltas_at(p.node_scales, cfg, timestamp, frame_idx)
+            vd = skin_vector_attrs(nd, state.skin_idx, state.skin_w)
+            gd = gaussian_vertex_blend(vd, state.faces, state.bary)
+            scales_raw = scales_raw + gd[:, 1:3]
+        if p.node_opacity is not None:
+            nd = node_deltas_at(p.node_opacity, cfg, timestamp, frame_idx)
+            vd = skin_vector_attrs(nd, state.skin_idx, state.skin_w)
+            gd = gaussian_vertex_blend(vd, state.faces, state.bary)
+            densities = densities + gd
         timed = SuGaRParams(
             points=verts_t,
             sh_dc=p.sh_dc,
             sh_rest=p.sh_rest,
-            scales=p.scales,
+            scales=scales_raw,
             complex_rot=p.complex_rot,
-            densities=p.densities,
+            densities=densities,
         )
         return dict(
             means3d=gaussian_positions(timed, state.faces, state.bary),

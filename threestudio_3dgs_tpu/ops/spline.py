@@ -99,6 +99,41 @@ def spline_timing(n_knots: int, degree: int = 3):
     return interval, start, t_low, t_up
 
 
+def spline_eval_vec(
+    knots: jnp.ndarray,  # (N, K, C) per-point control vectors
+    t: jnp.ndarray,  # () or (N,) timestamps in spline time
+    degree: int = 3,
+) -> jnp.ndarray:
+    """Euclidean-only twin of `spline_eval` for vector-valued knot tracks
+    (per-node scale / opacity deltas: the reference splines them with the same
+    basis-weighted sum it uses for translations,
+    reference geometry/dynamic_sugar.py:389-392,415-417)."""
+    n, k = knots.shape[0], knots.shape[1]
+    order = degree + 1
+    interval, start, t_low, t_up = spline_timing(k, degree)
+    tt = jnp.clip(jnp.asarray(t), t_low + _EPS, t_up - _EPS)
+    normalized = (tt - start) / interval
+    idx = jnp.floor(normalized).astype(jnp.int32)
+    u = normalized - idx
+    if degree == 3:
+        idx = idx - 1
+    idx = jnp.clip(idx, 0, k - order)
+    offsets = jnp.arange(order, dtype=jnp.int32)
+    seg_idx = idx + offsets if jnp.ndim(idx) == 0 else idx[..., None] + offsets
+    if jnp.ndim(idx) == 0:
+        seg = knots[:, seg_idx]
+        uu = jnp.broadcast_to(u, (n,))
+    else:
+        seg = jnp.take_along_axis(knots, seg_idx[:, :, None], axis=1)
+        uu = u
+    if degree == 3:
+        ct, _ = cubic_coeffs(jnp.clip(uu, _EPS, 1.0 - _EPS))
+    else:
+        u1 = uu[..., None]
+        ct = jnp.concatenate([1.0 - u1, u1], axis=-1)
+    return jnp.sum(ct[..., None] * seg, axis=-2)
+
+
 def spline_eval(
     knots_xyz: jnp.ndarray,  # (N, K, 3) per-point control translations
     knots_quat: jnp.ndarray,  # (N, K, 4) wxyz
