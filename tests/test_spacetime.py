@@ -328,13 +328,29 @@ class TestGs4dStaticStage:
             assert k in row and np.isfinite(row[k]), (k, sorted(row))
 
 
-class TestTemporalPlySidecar:
+class TestTemporalPly:
     def test_temporal_ply_roundtrip(self, tmp_path):
-        """save_ply writes the reference's temporal attribute schema
-        (motion_i / omega_i / trbf_* / delta_*_t{i}, reference
-        spacetime_gaussian.py:880-1117) in the sidecar; values round-trip."""
+        """save_ply writes the reference's temporal attribute schema as
+        FIRST-CLASS PLY vertex properties (motion_i / omega_i / trbf_* /
+        delta_{x,y,z}_t{i} / delta_rot_{j}_t{i}, reference
+        spacetime_gaussian.py:880-1117); values round-trip by name."""
         field = small_field(enable_spacetime=True, enable_dynamic=True)
         state = field.init_state(0)
+        # nonzero values so the round-trip is meaningful
+        rng = np.random.default_rng(3)
+        p = state.params
+        state = state.replace(
+            params=p.replace(
+                motion=jnp.asarray(
+                    rng.normal(size=np.asarray(p.motion).shape).astype(np.float32)
+                ),
+                delta_xyz=jnp.asarray(
+                    rng.normal(size=np.asarray(p.delta_xyz).shape).astype(
+                        np.float32
+                    )
+                ),
+            )
+        )
         p = state.params
         alive = np.asarray(state.alive)
         path = str(tmp_path / "cloud.ply")
@@ -342,20 +358,55 @@ class TestTemporalPlySidecar:
         import os
 
         assert os.path.exists(path)
-        side = path + ".temporal.npz"
-        assert os.path.exists(side)
-        cols = field.load_extra(side)
+
+        from threestudio_3dgs_tpu.models import ply_io
+
+        cols = ply_io.read_ply_table(path)
+        # exact reference attribute name list (construct_list_of_attributes,
+        # spacetime_gaussian.py:880-910), modulo the kept f_rest columns
+        t_frames = np.asarray(p.delta_xyz).shape[1]
+        expected = (
+            [f"delta_{ax}_t{i}" for i in range(t_frames) for ax in "xyz"]
+            + [f"delta_rot_{j}_t{i}" for i in range(t_frames) for j in range(4)]
+            + ["trbf_center", "trbf_scale"]
+            + [f"motion_{i}" for i in range(np.asarray(p.motion).shape[1])]
+            + [f"omega_{i}" for i in range(np.asarray(p.omega).shape[1])]
+        )
+        for name in expected:
+            assert name in cols, name
         m = np.asarray(p.motion)[alive]
         np.testing.assert_allclose(cols["motion_0"], m[:, 0], rtol=1e-6)
         np.testing.assert_allclose(
             cols["trbf_center"], np.asarray(p.trbf_center)[alive, 0], rtol=1e-6
         )
         d = np.asarray(p.delta_xyz)[alive]
-        np.testing.assert_allclose(cols["delta_xyz_t0_x"], d[:, 0, 0], rtol=1e-6)
-        # the base PLY itself loads back with matching xyz
-        from threestudio_3dgs_tpu.models import ply_io
+        np.testing.assert_allclose(cols["delta_x_t0"], d[:, 0, 0], rtol=1e-6)
+        np.testing.assert_allclose(cols["delta_z_t1"], d[:, 1, 2], rtol=1e-6)
 
+        # structured loader reassembles the stacked arrays
+        temporal = field.load_temporal_ply(path)
+        np.testing.assert_allclose(temporal["motion"], m, rtol=1e-6)
+        np.testing.assert_allclose(temporal["delta_xyz"], d, rtol=1e-6)
+        np.testing.assert_allclose(
+            temporal["delta_rot"], np.asarray(p.delta_rot)[alive], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            temporal["omega"], np.asarray(p.omega)[alive], rtol=1e-6
+        )
+
+        # the base PLY itself loads back with matching xyz
         data = ply_io.load_gaussian_ply(path, sh_degree=0)
         np.testing.assert_allclose(
             data["xyz"], np.asarray(p.xyz)[alive], rtol=1e-6
         )
+
+    def test_sidecar_option_kept(self, tmp_path):
+        field = small_field(enable_spacetime=True, enable_dynamic=False)
+        state = field.init_state(0)
+        path = str(tmp_path / "cloud.ply")
+        field.save_ply(state, path, sidecar=True)
+        import os
+
+        assert os.path.exists(path + ".temporal.npz")
+        cols = field.load_extra(path + ".temporal.npz")
+        assert "motion_0" in cols and "trbf_center" in cols

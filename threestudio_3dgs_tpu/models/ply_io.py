@@ -48,7 +48,12 @@ def save_gaussian_ply(
     opacity: np.ndarray,  # (N, 1)
     scaling: np.ndarray,  # (N, 3)
     rotation: np.ndarray,  # (N, 4)
+    extra: "Dict[str, np.ndarray] | None" = None,  # (N,) columns, in order
 ) -> None:
+    """`extra` columns (e.g. the spacetime model's motion_i / omega_i /
+    trbf_* / delta_*_t{i}) append as first-class float vertex properties
+    after rot_*, matching the reference's temporal PLY layout
+    (reference geometry/spacetime_gaussian.py:880-956)."""
     n = xyz.shape[0]
     k_rest = features_rest.shape[1]
     sh_degree = int(round((k_rest + 1) ** 0.5)) - 1
@@ -56,18 +61,19 @@ def save_gaussian_ply(
 
     f_dc = np.transpose(features_dc, (0, 2, 1)).reshape(n, -1)  # channel-major
     f_rest = np.transpose(features_rest, (0, 2, 1)).reshape(n, -1)
-    table = np.concatenate(
-        [
-            xyz,
-            np.zeros_like(xyz),  # normals, zero as in the reference
-            f_dc,
-            f_rest,
-            opacity,
-            scaling,
-            rotation,
-        ],
-        axis=1,
-    ).astype("<f4")
+    cols = [
+        xyz,
+        np.zeros_like(xyz),  # normals, zero as in the reference
+        f_dc,
+        f_rest,
+        opacity,
+        scaling,
+        rotation,
+    ]
+    if extra:
+        names = names + list(extra.keys())
+        cols += [np.asarray(c, np.float32).reshape(n, 1) for c in extra.values()]
+    table = np.concatenate(cols, axis=1).astype("<f4")
     assert table.shape[1] == len(names), (table.shape, len(names))
     with open(path, "wb") as f:
         f.write(_header(n, names))

@@ -315,13 +315,27 @@ class SpacetimeGaussianField(GaussianField):
         )
 
     # -- temporal PLY (reference :880-1117) --------------------------------
-    def save_ply(self, state: GaussianState, path: str) -> None:
-        super().save_ply(state, path)
+    def temporal_columns(self, state: GaussianState) -> Dict[str, np.ndarray]:
+        """Temporal attributes as named float columns, in the reference's
+        attribute order (construct_list_of_attributes,
+        reference geometry/spacetime_gaussian.py:880-910): per-frame
+        delta_{x,y,z}_t{i} then delta_rot_{j}_t{i}, then trbf_center,
+        trbf_scale, motion_{i}, omega_{i}."""
         alive = np.asarray(state.alive)
         p = state.params
-        # temporal attributes ride in a sidecar table with the reference's
-        # column names (motion_i, omega_i, trbf_center/scale, delta_*_t{i})
         extra_cols: Dict[str, np.ndarray] = {}
+        if p.delta_xyz is not None:
+            d = np.asarray(p.delta_xyz)[alive]
+            r = np.asarray(p.delta_rot)[alive]
+            for t in range(d.shape[1]):
+                for j, ax in enumerate("xyz"):
+                    extra_cols[f"delta_{ax}_t{t}"] = d[:, t, j]
+            for t in range(r.shape[1]):
+                for j in range(4):
+                    extra_cols[f"delta_rot_{j}_t{t}"] = r[:, t, j]
+        if p.trbf_center is not None:
+            extra_cols["trbf_center"] = np.asarray(p.trbf_center)[alive, 0]
+            extra_cols["trbf_scale"] = np.asarray(p.trbf_scale)[alive, 0]
         if p.motion is not None:
             m = np.asarray(p.motion)[alive]
             for i in range(m.shape[1]):
@@ -330,19 +344,82 @@ class SpacetimeGaussianField(GaussianField):
             o = np.asarray(p.omega)[alive]
             for i in range(o.shape[1]):
                 extra_cols[f"omega_{i}"] = o[:, i]
-        if p.trbf_center is not None:
-            extra_cols["trbf_center"] = np.asarray(p.trbf_center)[alive, 0]
-            extra_cols["trbf_scale"] = np.asarray(p.trbf_scale)[alive, 0]
-        if p.delta_xyz is not None:
-            d = np.asarray(p.delta_xyz)[alive]
-            r = np.asarray(p.delta_rot)[alive]
-            for t in range(d.shape[1]):
-                for j, ax in enumerate("xyz"):
-                    extra_cols[f"delta_xyz_t{t}_{ax}"] = d[:, t, j]
-                for j in range(4):
-                    extra_cols[f"delta_rot_t{t}_{j}"] = r[:, t, j]
-        if extra_cols:
+        return extra_cols
+
+    def save_ply(
+        self, state: GaussianState, path: str, sidecar: bool = False
+    ) -> None:
+        """Writes the temporal attributes as FIRST-CLASS PLY vertex
+        properties with the reference's names (motion_i, omega_i,
+        trbf_center/scale, delta_{x,y,z}_t{i}, delta_rot_{j}_t{i} --
+        reference geometry/spacetime_gaussian.py:880-956), interoperable
+        with upstream spacetime-gaussian tooling.  Delta vs reference: the
+        reference's spacetime writer drops f_rest (commented out, :886-887);
+        here f_rest columns stay -- readers index properties by name, so
+        extra columns are harmless.  `sidecar=True` additionally writes the
+        legacy .temporal.npz table."""
+        alive = np.asarray(state.alive)
+        p = state.params
+        extra_cols = self.temporal_columns(state)
+        ply_io.save_gaussian_ply(
+            path,
+            xyz=np.asarray(p.xyz)[alive],
+            features_dc=np.asarray(p.features_dc)[alive],
+            features_rest=np.asarray(p.features_rest)[alive],
+            opacity=np.asarray(p.opacity)[alive],
+            scaling=np.asarray(p.scaling)[alive],
+            rotation=np.asarray(p.rotation)[alive],
+            extra=extra_cols,
+        )
+        if sidecar and extra_cols:
             self._save_extra(path + ".temporal.npz", extra_cols)
+
+    def load_temporal_ply(self, path: str) -> Dict[str, np.ndarray]:
+        """Read a temporal PLY back into stacked parameter arrays
+        (motion (N, R*3), omega (N, 4), trbf_center/scale (N, 1),
+        delta_xyz (N, T, 3), delta_rot (N, T, 4)), mirroring the reference's
+        load_ply temporal branch (spacetime_gaussian.py:958-1117).  Columns
+        absent from the file are omitted from the result."""
+        cols = ply_io.read_ply_table(path)
+        out: Dict[str, np.ndarray] = {}
+
+        def _stack(names):
+            return np.stack(
+                [cols[k].astype(np.float32) for k in names], axis=1
+            )
+
+        motion_names = sorted(
+            (k for k in cols if k.startswith("motion_")),
+            key=lambda s: int(s.split("_")[-1]),
+        )
+        if motion_names:
+            out["motion"] = _stack(motion_names)
+        omega_names = sorted(
+            (k for k in cols if k.startswith("omega_")),
+            key=lambda s: int(s.split("_")[-1]),
+        )
+        if omega_names:
+            out["omega"] = _stack(omega_names)
+        if "trbf_center" in cols:
+            out["trbf_center"] = cols["trbf_center"].astype(np.float32)[:, None]
+            out["trbf_scale"] = cols["trbf_scale"].astype(np.float32)[:, None]
+        n_frames = len([k for k in cols if k.startswith("delta_x_t")])
+        if n_frames:
+            out["delta_xyz"] = np.stack(
+                [
+                    _stack([f"delta_{ax}_t{t}" for ax in "xyz"])
+                    for t in range(n_frames)
+                ],
+                axis=1,
+            )  # (N, T, 3)
+            out["delta_rot"] = np.stack(
+                [
+                    _stack([f"delta_rot_{j}_t{t}" for j in range(4)])
+                    for t in range(n_frames)
+                ],
+                axis=1,
+            )  # (N, T, 4)
+        return out
 
     @staticmethod
     def _save_extra(path: str, cols: Dict[str, np.ndarray]) -> None:
