@@ -36,6 +36,9 @@ echo "log -> $LOG"
   timeout 1800 python scripts/profile_trainstep.py --res 256 --b 2 \
     --n 50000 --steps 5 --max-pairs $((512*1024)) --mesh 1
 
+  echo "=== packed-vs-unpacked reduction gradients (1e-3 budget) ==="
+  timeout 1700 python scripts/check_pack_grad.py
+
   echo "=== render-quality floor (Pallas vs oracle PSNR) ==="
   RUN_ON_TPU=1 timeout 1700 python -m pytest tests/test_quality_regression.py -x -q -s
 

@@ -277,3 +277,72 @@ class TestTrainerDataParallel:
         tr_b.fit()
         loss_b = tr_b.metrics_log[0]["train/loss_total"]
         np.testing.assert_allclose(loss_a, loss_b, rtol=2e-4)
+
+
+class TestAdaptiveCapacityThrash:
+    """Round-4 verdict item 10: the adaptive pair capacity must not retrace
+    the compiled step on every oscillation of the demand trace -- growth is
+    immediate (drops lose pairs) but shrinks obey _SHRINK_COOLDOWN."""
+
+    def _harness(self, max_pairs=4 * 1024 * 1024, min_pairs=256 * 1024):
+        from threestudio_3dgs_tpu.systems.base import BaseGaussianSystem
+
+        class _RCfg:
+            pass
+
+        class _H:
+            _ADAPT_EVERY = BaseGaussianSystem._ADAPT_EVERY
+            _BUCKET = BaseGaussianSystem._BUCKET
+            _SHRINK_COOLDOWN = BaseGaussianSystem._SHRINK_COOLDOWN
+            _adapt_pair_capacity = BaseGaussianSystem._adapt_pair_capacity
+
+            class renderer:
+                cfg = _RCfg()
+
+        _RCfg.max_pairs = max_pairs
+        _RCfg.min_pairs = min_pairs
+        _RCfg.adaptive_max_pairs = True
+        h = _H()
+        h.renderer.cfg = _RCfg()
+        h._capacity = max_pairs
+        h._pair_log = []
+        h._retrace_count = 0
+        h._last_shrink_step = -(10**9)
+        return h
+
+    def test_oscillating_demand_bounded_retraces(self):
+        h = self._harness()
+        every = h._ADAPT_EVERY
+        caps = []
+        # demand oscillates hard between ~0.3M and ~2.5M every adapt window
+        for i in range(1, 41):
+            step = i * every
+            demand = 300_000 if i % 2 else 2_500_000
+            h._pair_log.append((np.int32(demand), np.int32(0)))
+            h._adapt_pair_capacity(step)
+            caps.append(h._capacity)
+        # without the cooldown this trace forces a retrace nearly every
+        # window; with it, shrinks are rate-limited
+        n_windows = 40 * every // h._SHRINK_COOLDOWN
+        assert h._retrace_count <= 2 * n_windows + 2, (
+            h._retrace_count,
+            caps,
+        )
+
+    def test_growth_is_immediate_on_drops(self):
+        h = self._harness()
+        h._capacity = 512 * 1024
+        h._pair_log.append((np.int32(900_000), np.int32(400_000)))
+        h._adapt_pair_capacity(h._ADAPT_EVERY)
+        assert h._capacity > 512 * 1024
+        assert h._retrace_count == 1
+
+    def test_steady_state_no_retrace(self):
+        h = self._harness()
+        h._capacity = 1024 * 1024
+        for i in range(1, 11):
+            h._pair_log.append((np.int32(600_000), np.int32(0)))
+            h._adapt_pair_capacity(i * h._ADAPT_EVERY)
+        # demand*1.4 = 840k -> bucket 1M = cap: no change ever
+        assert h._retrace_count == 0
+        assert h._capacity == 1024 * 1024

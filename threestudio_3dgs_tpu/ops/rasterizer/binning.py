@@ -382,7 +382,13 @@ def _gather_fwd_impl(feats, binning):
 # inside the 1e-3 grad budget) and cuts the 11-operand payload sort to 8
 # operands (~1 ms per column at 2M rows, PERF.md).  0 = exact f32 columns;
 # 16 = bfloat16 density (over budget; experiments only).
-PACK_GRAD_BITS = 21
+# Overridable without editing code (the bound is relative to the per-segment
+# sum of |terms|, so cancellation-heavy scenes can check themselves against
+# exact f32 by setting THREESTUDIO_TPU_PACK_GRAD_BITS=0; scripts/
+# check_pack_grad.py runs that comparison on hardware).
+import os as _os
+
+PACK_GRAD_BITS = int(_os.environ.get("THREESTUDIO_TPU_PACK_GRAD_BITS", "21"))
 
 
 def _gather_bwd_impl(binning, d_pairs, interpret: bool = False):

@@ -328,7 +328,7 @@ def _bwd_kernel(
     merge,  # VMEM (F, BLOCK) previous contents of a shared boundary block
     sem_in,  # DMA (2,)
     sem_merge,
-    sem_out,  # DMA (2,)
+    sem_out,  # DMA (WSLOTS,)
     *,
     grid_x: int,
     tile_size: int,
@@ -340,8 +340,9 @@ def _bwd_kernel(
     The output buffer is zero-initialized OUTSIDE (input_output_alias), so the
     loop early-exits once every pixel saturates (raw transmittance < T_EPS)
     exactly like the forward -- dead and unreached blocks cost nothing.  Input
-    reads and output writes are double-buffered: block b+1's fetch and block
-    b-1's writeback overlap block b's math (~35 VPU ops on (npix, BLOCK))."""
+    reads are double-buffered and output writes ride a WSLOTS-deep ring:
+    block b+1's fetch and up to WSLOTS earlier writebacks overlap block b's
+    math (~30 VPU ops on (npix, BLOCK))."""
     npix = tile_size * tile_size
     t = pl.program_id(0)
     start = ranges_ref[t]

@@ -149,14 +149,33 @@ def make_dp_train_step(
     return jax.jit(step)
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = "data"):
-    """Place camera-batched arrays with the batch axis sharded on the mesh."""
+def shard_batch(
+    mesh: Mesh,
+    batch: Dict[str, Any],
+    axis: str = "data",
+    batch_size: "int | None" = None,
+):
+    """Place camera-batched arrays with the batch axis sharded on the mesh.
+
+    An entry is sharded only when its leading dim equals the global camera
+    batch size (taken from `batch_size`, falling back to the c2w row count):
+    mere divisibility by the mesh size would silently mis-shard any aux
+    entry whose first dim coincidentally divides it (e.g. an (n*k,)-shaped
+    table), which must replicate instead."""
     sharding = NamedSharding(mesh, PartitionSpec(axis))
-    rep = NamedSharding(mesh, PartitionSpec())
     out = {}
     n = mesh.shape[axis]
+    if batch_size is None and "c2w" in batch and hasattr(batch["c2w"], "shape"):
+        batch_size = int(batch["c2w"].shape[0])
     for k, v in batch.items():
-        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] % n == 0 and v.shape[0] > 0:
+        is_batched = (
+            hasattr(v, "ndim")
+            and v.ndim >= 1
+            and v.shape[0] > 0
+            and v.shape[0] % n == 0
+            and (batch_size is None or v.shape[0] == batch_size)
+        )
+        if is_batched:
             out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v

@@ -119,6 +119,12 @@ class BaseGaussianSystem:
         self._eval_jit: Dict[Any, Any] = {}
         self._capacity: Optional[int] = None  # adaptive pair capacity
         self._pair_log: list = []
+        self._retrace_count: int = 0  # cumulative capacity changes (each
+        # one recompiles the step -- PERF.md documents 30-minute-class
+        # tunnel compiles at flagship scale, so thrash must be visible)
+        self._last_shrink_step: int = -(10**9)
+        self._submeshes: Dict[int, Any] = {}  # gcd sub-meshes, NOT jit fns
+        self._submesh_warned: set = set()
         # data-parallel camera sharding: set by the Trainer via set_mesh()
         # when more than one device is available (the reference assumes
         # Lightning DDP drives this from launch.py; SURVEY.md section 2.4)
@@ -270,6 +276,7 @@ class BaseGaussianSystem:
     # -- adaptive pair capacity ----------------------------------------------
     _ADAPT_EVERY = 50  # steps between host syncs of the pair stats
     _BUCKET = 256 * 1024  # capacity quantum (multiple of every kernel tile)
+    _SHRINK_COOLDOWN = 8 * _ADAPT_EVERY  # min steps between capacity shrinks
 
     def _pair_capacity(self) -> Optional[int]:
         rcfg = getattr(self.renderer, "cfg", None)
@@ -304,10 +311,21 @@ class BaseGaussianSystem:
         else:
             want = bucket(int(demand * 1.4))
             new_cap = want if want <= cap - 2 * self._BUCKET else cap
+            # shrink cooldown: an oscillating demand trace (densify spikes
+            # every few hundred steps) would otherwise retrace the step each
+            # _ADAPT_EVERY -- growth stays immediate (drops lose pairs), but
+            # a shrink may only follow another shrink after
+            # _SHRINK_COOLDOWN steps
+            if new_cap < cap and step - self._last_shrink_step < self._SHRINK_COOLDOWN:
+                new_cap = cap
         if new_cap != cap:
+            if new_cap < cap:
+                self._last_shrink_step = step
+            self._retrace_count += 1
             print(
                 f"[system] pair capacity {cap} -> {new_cap} "
-                f"(demand {demand}, dropped {dropped})",
+                f"(demand {demand}, dropped {dropped}, "
+                f"retrace #{self._retrace_count})",
                 flush=True,
             )
             self._capacity = new_cap
@@ -330,6 +348,7 @@ class BaseGaussianSystem:
         self.mesh = mesh
         self._dp_axis = axis
         self._train_jit.clear()
+        self._submeshes.clear()
 
     def _mesh_for_batch(self, bs: int):
         """The largest sub-mesh whose size divides the camera batch."""
@@ -339,13 +358,20 @@ class BaseGaussianSystem:
         use = math.gcd(bs, n)
         if use == n:
             return self.mesh
-        key = ("submesh", use)
-        if key not in self._train_jit:
+        if use not in self._submeshes:
             from jax.sharding import Mesh
 
             devs = np.asarray(self.mesh.devices).reshape(-1)[:use]
-            self._train_jit[key] = Mesh(devs, (self._dp_axis,))
-        return self._train_jit[key]
+            self._submeshes[use] = Mesh(devs, (self._dp_axis,))
+        if (bs, use) not in self._submesh_warned:
+            # surface the idle devices: bs=4 on 8 devices silently runs 4
+            self._submesh_warned.add((bs, use))
+            print(
+                f"[system] camera batch {bs} not divisible by mesh size {n}: "
+                f"stepping on a {use}-device sub-mesh ({n - use} idle)",
+                flush=True,
+            )
+        return self._submeshes[use]
 
     def _dp_train_jit(self, sig, mesh):
         """Cached dp train step for (height, width, global_bs, capacity)."""
@@ -373,7 +399,7 @@ class BaseGaussianSystem:
 
             mesh = self._mesh_for_batch(bs)
             step_fn = self._dp_train_jit(sig, mesh)
-            dev_batch = shard_batch(mesh, dev_batch, self._dp_axis)
+            dev_batch = shard_batch(mesh, dev_batch, self._dp_axis, batch_size=bs)
             state, logs = step_fn(state, dev_batch, k_step, sched)
         else:
             if sig not in self._train_jit:
