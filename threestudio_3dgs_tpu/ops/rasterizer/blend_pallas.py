@@ -32,8 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .blend_jax import ALPHA_MAX, ALPHA_MIN, T_EPS
 
-BLOCK = 128  # pairs per block (lane dim)
+BLOCK = 128  # pair-block granularity (lane tile)
 WSLOTS = 4  # backward writeback ring depth (in-flight output DMAs)
+
+# Pairs consumed per walk iteration.  The round-4 device trace showed both
+# blend kernels walk-bound (~1.1-1.2 us per iteration regardless of math:
+# the quadrant-compacted variant with 0.35x elements ran no faster), so
+# wider blocks amortize the per-iteration cost; scans chunk at 128 lanes to
+# keep MAC linear in width.  Overridable for A/B measurement.
+import os as _os
+
+FWD_WIDTH = int(_os.environ.get("THREESTUDIO_TPU_BLEND_FWD_WIDTH", "256"))
+BWD_WIDTH = int(_os.environ.get("THREESTUDIO_TPU_BLEND_BWD_WIDTH", "256"))
 
 
 def _lane_iota(shape):
@@ -59,7 +69,20 @@ def _cumsum_lane(x, terms: int = 3):
     # accuracy.  Scan inputs are logs in [-4.6, 0] (no cancellation).
     # terms=2 (error ~2^-18) serves gradient-only scans in the backward,
     # where 1e-3 is the accuracy budget: one less MXU pass each.
+    #
+    # Widths > 128 scan in 128-lane chunks with an f32 carry between chunks:
+    # MAC stays LINEAR in width (a full triangular would be quadratic),
+    # which is what makes the wide-block kernels (WIDTH=256, fewer
+    # walk-bound iterations) pay off.
     n = x.shape[1]
+    if n > 128:
+        outs = []
+        carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+        for i in range(0, n, 128):
+            c = _cumsum_lane(x[:, i : i + 128], terms) + carry
+            carry = c[:, -1:]
+            outs.append(c)
+        return jnp.concatenate(outs, axis=1)
     tri = _tri_incl((n, n)).astype(jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     r1 = x - hi.astype(jnp.float32)
@@ -160,17 +183,17 @@ def _pad8(n: int) -> int:
     return (n + 7) // 8 * 8
 
 
-def _to_blocks(pair_feats: jnp.ndarray):
-    """(P, F) -> (NB, F8, BLOCK) with one extra zero block of headroom."""
+def _to_blocks(pair_feats: jnp.ndarray, width: int = BLOCK):
+    """(P, F) -> (NB, F8, width) with one extra zero block of headroom."""
     p, f = pair_feats.shape
-    nb = (p + BLOCK - 1) // BLOCK + 1
-    padded = jnp.pad(pair_feats, ((0, nb * BLOCK - p), (0, _pad8(f) - f)))
-    return padded.reshape(nb, BLOCK, _pad8(f)).transpose(0, 2, 1)
+    nb = (p + width - 1) // width + 1
+    padded = jnp.pad(pair_feats, ((0, nb * width - p), (0, _pad8(f) - f)))
+    return padded.reshape(nb, width, _pad8(f)).transpose(0, 2, 1)
 
 
 def _from_blocks(blocked: jnp.ndarray, p: int, f: int):
-    nb, f8, _ = blocked.shape
-    return blocked.transpose(0, 2, 1).reshape(nb * BLOCK, f8)[:p, :f]
+    nb, f8, width = blocked.shape
+    return blocked.transpose(0, 2, 1).reshape(nb * width, f8)[:p, :f]
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +212,7 @@ def _fwd_kernel(
     tile_size: int,
     n_channels: int,
     view_grid_y: int = 0,
+    width: int = BLOCK,
 ):
     npix = tile_size * tile_size
     t = pl.program_id(0)
@@ -203,12 +227,12 @@ def _fwd_kernel(
     tx0 = ((t % grid_x) * tile_size).astype(jnp.float32)
     ty0 = (ty_idx * tile_size).astype(jnp.float32)
     basis = _monomial_basis(tile_size, npix)
-    lane = _lane_iota((1, BLOCK))
+    lane = _lane_iota((1, width))
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    b0 = start // BLOCK
-    b1 = pl.cdiv(end, BLOCK)
+    b0 = start // width
+    b1 = pl.cdiv(end, width)
 
     def rd(b, s):
         return pltpu.make_async_copy(feats_hbm.at[b], scratch.at[s], sem.at[s])
@@ -231,7 +255,7 @@ def _fwd_kernel(
 
         rd(b, s).wait()
         feats = scratch[s]
-        gid = b * BLOCK + lane
+        gid = b * width + lane
         pmask = jnp.logical_and(gid >= start, gid < end)  # (1, BLOCK)
         coeffs, _, _, _, _, _, opa = _coeff_rows(feats, tx0, ty0)
         opa = jnp.where(pmask, opa, 0.0)  # lane-row range mask, see helper
@@ -246,9 +270,9 @@ def _fwd_kernel(
         # sum (alpha map) -- the separate lane-tree sum of w was ~7 extra VPU
         # ops on (npix, BLOCK) (matches the jax twin's colors_ext layout)
         colors_ext = jnp.concatenate(
-            [feats[6 : 6 + n_channels, :], jnp.ones((1, BLOCK), jnp.float32)],
+            [feats[6 : 6 + n_channels, :], jnp.ones((1, width), jnp.float32)],
             axis=0,
-        )  # (C+1, BLOCK)
+        )  # (C+1, width)
         acc = jax.lax.dot_general(
             w,
             colors_ext,
@@ -257,7 +281,7 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )  # (npix, C+1)
         out_ref[0, :, 0 : n_channels + 1] += acc
-        return b + 1, cum_incl[:, BLOCK - 1 : BLOCK]
+        return b + 1, cum_incl[:, width - 1 : width]
 
     b_final, _ = jax.lax.while_loop(
         cond, body, (b0, jnp.ones((npix, 1), jnp.float32))
@@ -278,17 +302,19 @@ def blend_forward_pallas(
     n_channels: int,
     interpret: bool = False,
     view_grid_y: int = 0,
+    width: int = 0,  # pairs per walk iteration; 0 = module default
 ) -> jnp.ndarray:
     npix = tile_size * tile_size
     num_tiles = grid_x * grid_y
     n_out = n_channels + 1
-    blocked = _to_blocks(pair_feats)
+    width = width or FWD_WIDTH
+    blocked = _to_blocks(pair_feats, width)
     f8 = blocked.shape[1]
     n_out8 = _pad8(n_out)
 
     kernel = functools.partial(
         _fwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels,
-        view_grid_y=view_grid_y,
+        view_grid_y=view_grid_y, width=width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -298,7 +324,7 @@ def blend_forward_pallas(
             (1, npix, n_out8), lambda t, ranges: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, f8, BLOCK), jnp.float32),
+            pltpu.VMEM((2, f8, width), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -334,6 +360,7 @@ def _bwd_kernel(
     tile_size: int,
     n_channels: int,
     view_grid_y: int = 0,
+    width: int = BLOCK,
 ):
     """One program per image tile, walking its pair blocks front-to-back.
 
@@ -353,7 +380,7 @@ def _bwd_kernel(
     tx0 = ((t % grid_x) * tile_size).astype(jnp.float32)
     ty0 = (ty_idx * tile_size).astype(jnp.float32)
     basis = _monomial_basis(tile_size, npix)
-    lane = _lane_iota((1, BLOCK))
+    lane = _lane_iota((1, width))
 
     out_full = out_ref[0]  # (npix, C1)
     g_full = g_ref[0]
@@ -361,8 +388,8 @@ def _bwd_kernel(
     g_colors = g_ref[0, :, 0:n_channels]  # (npix, C)
     g_ext = g_ref[0, :, 0 : n_channels + 1]  # (npix, C+1) [g_colors | g_alpha]
 
-    b0 = start // BLOCK
-    b1 = pl.cdiv(end, BLOCK)
+    b0 = start // width
+    b1 = pl.cdiv(end, width)
 
     def rd(b, s):
         return pltpu.make_async_copy(feats_hbm.at[b], scratch.at[s], sem_in.at[s])
@@ -376,7 +403,7 @@ def _bwd_kernel(
         # boundary block shared with the previous tile: fetch its rows so the
         # merge below preserves them (programs run sequentially; the previous
         # program waited its writebacks before finishing)
-        shares_prev = start % BLOCK != 0
+        shares_prev = start % width != 0
 
         @pl.when(shares_prev)
         def _():
@@ -402,7 +429,7 @@ def _bwd_kernel(
             rd(b + 1, 1 - s).start()
 
         rd(b, s).wait()
-        gid = b * BLOCK + lane
+        gid = b * width + lane
         feats = scratch[s]
         pmask = jnp.logical_and(gid >= start, gid < end)
         coeffs, x, y, ca, cb, cc, opa = _coeff_rows(feats, tx0, ty0)
@@ -425,9 +452,9 @@ def _bwd_kernel(
         w = jnp.where(include, alpha * cum_excl, 0.0)
 
         colors_ext = jnp.concatenate(
-            [feats[6 : 6 + n_channels, :], jnp.ones((1, BLOCK), jnp.float32)],
+            [feats[6 : 6 + n_channels, :], jnp.ones((1, width), jnp.float32)],
             axis=0,
-        )  # (C+1, BLOCK)
+        )  # (C+1, width)
         # u_i = <colors_i, g> + g_alpha in ONE matmul via the ones row
         u = jax.lax.dot_general(
             g_ext,
@@ -478,7 +505,7 @@ def _bwd_kernel(
         pad = scratch.shape[1] - 6 - n_channels
         d_all = jnp.concatenate(
             [d_x, d_y, d_ca, d_cb, d_cc, d_opa, d_colors]
-            + ([jnp.zeros((pad, BLOCK))] if pad else []),
+            + ([jnp.zeros((pad, width))] if pad else []),
             axis=0,
         ) * keep
 
@@ -495,8 +522,8 @@ def _bwd_kernel(
 
         return (
             b + 1,
-            cum_incl[:, BLOCK - 1 : BLOCK],
-            prefix_inc[:, BLOCK - 1 : BLOCK],
+            cum_incl[:, width - 1 : width],
+            prefix_inc[:, width - 1 : width],
         )
 
     b_final, _, _ = jax.lax.while_loop(
@@ -531,12 +558,14 @@ def blend_backward_pallas(
     n_channels: int,
     interpret: bool = False,
     view_grid_y: int = 0,
+    width: int = 0,  # pairs per walk iteration; 0 = module default
 ) -> jnp.ndarray:
     npix = tile_size * tile_size
     num_tiles = grid_x * grid_y
     n_out = n_channels + 1
     p_total, f_dim = pair_feats.shape
-    blocked = _to_blocks(pair_feats)
+    width = width or BWD_WIDTH
+    blocked = _to_blocks(pair_feats, width)
     nb, f8, _ = blocked.shape
     n_out8 = _pad8(n_out)
     out = jnp.pad(out, ((0, 0), (0, 0), (0, n_out8 - n_out)))
@@ -544,7 +573,7 @@ def blend_backward_pallas(
 
     kernel = functools.partial(
         _bwd_kernel, grid_x=grid_x, tile_size=tile_size, n_channels=n_channels,
-        view_grid_y=view_grid_y,
+        view_grid_y=view_grid_y, width=width,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -561,19 +590,19 @@ def blend_backward_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, f8, BLOCK), jnp.float32),
-            pltpu.VMEM((WSLOTS, f8, BLOCK), jnp.float32),
-            pltpu.VMEM((f8, BLOCK), jnp.float32),
+            pltpu.VMEM((2, f8, width), jnp.float32),
+            pltpu.VMEM((WSLOTS, f8, width), jnp.float32),
+            pltpu.VMEM((f8, width), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((WSLOTS,)),
         ],
     )
-    acc0 = jnp.zeros((nb, f8, BLOCK), jnp.float32)
+    acc0 = jnp.zeros((nb, f8, width), jnp.float32)
     d_blocked = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, f8, BLOCK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, f8, width), jnp.float32),
         input_output_aliases={4: 0},  # acc0 (incl. the prefetch arg) -> out
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
