@@ -346,3 +346,82 @@ class TestAdaptiveCapacityThrash:
         # demand*1.4 = 840k -> bucket 1M = cap: no change ever
         assert h._retrace_count == 0
         assert h._capacity == 1024 * 1024
+
+
+class TestChunkedPsum:
+    """Round-4 north-star overlap clause: the chunked per-Gaussian grad
+    psum must be numerically identical to the single-collective pmean."""
+
+    def test_chunked_matches_plain(self):
+        import jax
+        from jax.sharding import Mesh
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from threestudio_3dgs_tpu.parallel.data_parallel import chunked_pmean
+
+        devs = np.array(jax.devices()[:8])
+        mesh = Mesh(devs, ("data",))
+        rng = np.random.default_rng(0)
+        tree = {
+            "xyz": jnp.asarray(rng.normal(size=(1000, 3)).astype(np.float32) * 1e3),
+            "rest": jnp.asarray(rng.normal(size=(1000, 15, 3)).astype(np.float32)),
+            "small": jnp.asarray(rng.normal(size=(7,)).astype(np.float32)),
+        }
+
+        def run(fn):
+            def body(t):
+                return fn(t)
+
+            sharded = shard_map(
+                body, mesh=mesh, in_specs=(P("data"),), out_specs=P(),
+                check_rep=False,
+            )
+            # pad rows to a multiple of 8 devices
+            t8 = jax.tree_util.tree_map(
+                lambda x: jnp.tile(x, (8,) + (1,) * (x.ndim - 1))
+                if x.ndim
+                else x,
+                tree,
+            )
+            return jax.jit(sharded)(t8)
+
+        plain = run(lambda t: jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, "data"), t))
+        chunked = run(lambda t: chunked_pmean(t, "data", chunks=4))
+        for k in tree:
+            np.testing.assert_allclose(
+                np.asarray(plain[k]), np.asarray(chunked[k]), rtol=1e-6,
+                err_msg=k,
+            )
+
+    def test_dp_step_unchanged_with_chunks(self):
+        # the dp train step with chunked psum matches the 1-chunk variant
+        from threestudio_3dgs_tpu.parallel import data_parallel as dp
+
+        old = dp.GRAD_PSUM_CHUNKS
+        try:
+            sys_a, batch = build_system(4)
+            import jax
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+            dp.GRAD_PSUM_CHUNKS = 1
+            step1 = dp.make_dp_train_step(sys_a, mesh, 32, 32, 4)
+            state = sys_a.init_state(0)
+            sched = sys_a.sched_scalars(0)
+            db = dp.shard_batch(mesh, to_device_batch(batch))
+            s1, l1 = step1(state, db, jax.random.PRNGKey(0), sched)
+            dp.GRAD_PSUM_CHUNKS = 4
+            step4 = dp.make_dp_train_step(sys_a, mesh, 32, 32, 4)
+            s4, l4 = step4(state, db, jax.random.PRNGKey(0), sched)
+            np.testing.assert_allclose(
+                np.asarray(s1.gauss.params.xyz),
+                np.asarray(s4.gauss.params.xyz),
+                atol=1e-6,
+            )
+            lk = [k for k in l1 if "loss_total" in k][0]
+            np.testing.assert_allclose(
+                float(l1[lk]), float(l4[lk]), rtol=1e-5
+            )
+        finally:
+            dp.GRAD_PSUM_CHUNKS = old

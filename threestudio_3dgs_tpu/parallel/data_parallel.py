@@ -25,6 +25,40 @@ from ..models import gaussian_field as gf
 from ..models.optim import adam_update
 from ..systems.base import SystemState
 
+# chunks per large gradient leaf for the pipelined psum (1 = single
+# collective per leaf); overridable for A/B measurement
+import os as _os
+
+GRAD_PSUM_CHUNKS = int(_os.environ.get("THREESTUDIO_TPU_PSUM_CHUNKS", "4"))
+
+
+def chunked_pmean(tree, axis: str, chunks: int = 4):
+    """pmean each leaf in row chunks: numerically identical (chunks
+    partition rows; each element is reduced exactly once), but the K
+    independent collectives per leaf pipeline over ICI and can overlap the
+    still-running backward of OTHER leaves under XLA's async-collective
+    scheduler.  Leaves too small to matter go through one pmean."""
+    if chunks <= 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, axis), tree
+        )
+
+    def leaf(x):
+        n = x.shape[0] if x.ndim else 0
+        if x.ndim == 0 or n < chunks or x.size < 64 * 1024:
+            return jax.lax.pmean(x, axis)
+        bounds = [n * i // chunks for i in range(chunks + 1)]
+        parts = [
+            jax.lax.pmean(
+                jax.lax.slice_in_dim(x, bounds[i], bounds[i + 1], axis=0),
+                axis,
+            )
+            for i in range(chunks)
+        ]
+        return jax.lax.concatenate(parts, 0)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
 
 def make_dp_train_step(
     system,
@@ -70,7 +104,17 @@ def make_dp_train_step(
         # matches the single-device full-batch loss exactly: per-shard means
         # average to the global mean, and batch-independent regularizers are
         # identical on every device (pmean is the identity there).
-        g_gauss = jax.lax.pmean(g_gauss, axis)
+        #
+        # The per-Gaussian grads psum CHUNKED (north-star overlap clause,
+        # BASELINE.json): each parameter leaf already issues its own
+        # all-reduce -- a leaf's collective is schedulable as soon as ITS
+        # backward slice finishes (colors after the pair-grad reduction,
+        # xyz only after project bwd), and chunking the big leaves further
+        # lets XLA's async collectives pipeline reduce-scatter phases over
+        # ICI while the remaining backward still runs.  Numerically
+        # identical (chunks partition rows); ~zero cost on one device
+        # (measured, PERF.md round-4 'Communication budget').
+        g_gauss = chunked_pmean(g_gauss, axis, chunks=GRAD_PSUM_CHUNKS)
         g_extra = jax.lax.pmean(g_extra, axis)
         logs = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), logs)
 
