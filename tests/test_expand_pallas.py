@@ -179,3 +179,90 @@ def test_expand_slots_parity():
     np.testing.assert_array_equal(
         np.asarray(slot_k[:total]), np.asarray(slot_r[:total])
     )
+
+
+def test_expand_bin_packed_parity():
+    """The packed-payload expand (round 4: 24-bit feature words + bit-packed
+    rect ints riding the depth sort) must reproduce the unpacked kernel's
+    slot/gauss/tile outputs exactly and decode features to 2^-16."""
+    from threestudio_3dgs_tpu.ops.rasterizer.expand_pallas import (
+        MASK_NONE,
+        expand_bin_pallas_packed,
+    )
+    from threestudio_3dgs_tpu.ops.rasterizer.pack import pack24, unpack24
+
+    rng = np.random.default_rng(3)
+    n = 700
+    grid_x = grid_y = 4
+    ts = 16
+    max_pairs = 4096
+    w = rng.integers(1, 3, size=n).astype(np.int32)
+    h = rng.integers(1, 3, size=n).astype(np.int32)
+    vis = rng.random(n) > 0.2
+    counts = (w * h * vis).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    order = np.arange(n, dtype=np.int32)
+    x0 = rng.integers(0, 3, size=n).astype(np.int32)
+    y0 = rng.integers(0, 3, size=n).astype(np.int32)
+    mx = rng.uniform(0, 64, n).astype(np.float32)
+    my = rng.uniform(0, 64, n).astype(np.float32)
+    ca = rng.uniform(0.05, 2.0, n).astype(np.float32)
+    cb = rng.uniform(-0.1, 0.1, n).astype(np.float32)
+    cc = rng.uniform(0.05, 2.0, n).astype(np.float32)
+    opa = rng.uniform(0.1, 0.95, n).astype(np.float32)
+    chans = rng.uniform(size=(n, 4)).astype(np.float32)
+    mask = np.full(n, MASK_NONE, np.int32)
+
+    # the unpacked kernel with EXACT f32 fields, except conic/opa fed
+    # through the same f24 round-trip so the cull decisions agree
+    cpk = np.asarray(
+        unpack24(pack24(jnp.asarray(np.stack([ca, cb, cc, opa], 1))), 4)
+    )
+    outs_ref = expand_bin_pallas(
+        jnp.asarray(offs), jnp.asarray(order),
+        jnp.asarray(x0.astype(np.float32)), jnp.asarray(y0.astype(np.float32)),
+        jnp.asarray(w.astype(np.float32)),
+        grid_x, max_pairs, tile_size=ts, num_tiles=grid_x * grid_y,
+        cull_fields_d=jnp.asarray(
+            np.stack([mx, my, cpk[:, 0], cpk[:, 1], cpk[:, 2], cpk[:, 3]], 1)
+        ),
+        chan_fields_d=jnp.asarray(chans),
+        mask_d=jnp.asarray(mask.astype(np.float32)),
+        interpret=INTERPRET,
+    )
+    outs_p = expand_bin_pallas_packed(
+        jnp.asarray(offs), jnp.asarray(order),
+        jnp.asarray(x0 | y0 << 8),
+        jnp.asarray(np.where(counts > 0, w | h << 9, 0).astype(np.int32)),
+        jnp.asarray(mx), jnp.asarray(my),
+        pack24(jnp.asarray(np.stack([ca, cb, cc, opa], 1))),
+        pack24(jnp.asarray(chans)),
+        jnp.asarray(mask),
+        grid_x, max_pairs, tile_size=ts, num_tiles=grid_x * grid_y,
+        interpret=INTERPRET,
+    )
+    total = int(counts.sum())
+    for i, name in enumerate(("slot", "gauss", "tile")):
+        np.testing.assert_array_equal(
+            np.asarray(outs_ref[i])[:total],
+            np.asarray(outs_p[i])[:total],
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs_ref[3])[:total], np.asarray(outs_p[3])[:total]
+    )  # mx exact
+    pk_words = jnp.stack([outs_p[5 + j][:total] for j in range(3)], axis=1)
+    got = np.asarray(unpack24(pk_words.astype(jnp.uint32), 4))
+    ref = np.stack(
+        [np.asarray(outs_ref[5 + j])[:total] for j in range(4)], axis=1
+    )
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-12)
+    assert rel.max() <= 2**-15, rel.max()
+
+
+def test_bin_gaussians_packed_path_cpu_noop():
+    """PACK_FEATS only engages on the TPU pallas path; the CPU fallback must
+    keep returning (binning, None) untouched."""
+    from threestudio_3dgs_tpu.ops.rasterizer import binning as bin_mod
+
+    assert bin_mod.PACK_FEATS  # default on

@@ -35,6 +35,13 @@ import jax.numpy as jnp
 from .preprocess import Projected
 
 
+# Packed depth/tile-sort payloads (round 4): 24-bit feature words + bit-
+# packed rect ints; see the packed_ok branch in _bin_impl.  Off -> the
+# original full-f32 columns (A/B measurement, or grids > 256 tiles).
+import os as _os
+
+PACK_FEATS = _os.environ.get("THREESTUDIO_TPU_PACK_FEATS", "1") != "0"
+
 _warned_unaligned: set = set()
 
 
@@ -209,6 +216,141 @@ def _bin_impl(
     # fully-culled gaussians (count 0) must sort to the inf tail: the expand
     # window bound assumes every in-prefix segment owns >= 1 pair
     sort_depth = jnp.where(counts_all > 0, proj.depths, jnp.inf)
+
+    # ---- packed-payload fast path (round 4) -------------------------------
+    # TPU sort cost is per OPERAND (~0.55-1 ms at 1-2M rows); the production
+    # depth sort carried 15 payload columns and the tile sort 11.  Here the
+    # rect ints bit-pack (x|y<<8, w|h<<9), conic+opacity and the channels
+    # ride as 24-bit packed words (4 values -> 3 words, rel err 2^-16 --
+    # inside the 85 dB oracle floor; means2d stay exact f32), and the counts
+    # column is RECONSTRUCTED post-sort (popcount(mask) for exact-culled
+    # small rects, w*h otherwise).  Depth sort: 17 -> 13 operands; tile
+    # sort: 12 -> 10.
+    packed_ok = (
+        PACK_FEATS
+        and emit_feats
+        and mask_col is not None
+        and grid_x <= 256
+        and grid_y <= 256
+    )
+    if packed_ok:
+        from .expand_pallas import MASK_NONE as _MASK_NONE
+        from .expand_pallas import expand_bin_pallas_packed
+        from .pack import pack24, unpack24
+
+        chan_sg = jax.lax.stop_gradient(channels)
+        sg_op = jax.lax.stop_gradient(opacities)
+        xy_col = proj.tiles_min[:, 0].astype(jnp.int32) | (
+            proj.tiles_min[:, 1].astype(jnp.int32) << 8
+        )
+        wh_col = jnp.where(
+            counts_all > 0,
+            rect_w | (rect_h << 9),
+            0,
+        ).astype(jnp.int32)
+        pk = pack24(
+            jnp.stack(
+                [
+                    proj.conics[:, 0],
+                    proj.conics[:, 1],
+                    proj.conics[:, 2],
+                    sg_op,
+                ],
+                axis=1,
+            )
+        )  # (N, 3) uint32
+        ch = pack24(chan_sg)  # (N, CHW)
+        chw = ch.shape[1]
+        sorted_ops = jax.lax.sort(
+            (
+                sort_depth,
+                iota_n,
+                xy_col,
+                wh_col,
+                proj.means2d[:, 0],
+                proj.means2d[:, 1],
+            )
+            + tuple(pk[:, j] for j in range(pk.shape[1]))
+            + tuple(ch[:, j] for j in range(chw))
+            + (mask_col,),
+            num_keys=1,
+        )
+        depth_order = sorted_ops[1]
+        xy_s, wh_s = sorted_ops[2], sorted_ops[3]
+        mx_s, my_s = sorted_ops[4], sorted_ops[5]
+        pk_s = sorted_ops[6 : 6 + pk.shape[1]]
+        ch_s = sorted_ops[6 + pk.shape[1] : 6 + pk.shape[1] + chw]
+        mask_s = sorted_ops[-1]
+        counts = jnp.where(
+            mask_s != jnp.int32(_MASK_NONE),
+            jax.lax.population_count(mask_s),
+            (wh_s & 511) * jax.lax.shift_right_logical(wh_s, 9),
+        ).astype(jnp.int32)
+        _SAT = float(2**24)
+        cs = jnp.cumsum(counts.astype(jnp.float32))
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.float32), cs[:-1]])
+        offsets = jnp.minimum(offsets, _SAT).astype(jnp.int32)
+        total_f = jnp.minimum(cs[-1], _SAT)
+        n_pairs = jnp.minimum(total_f, float(max_pairs)).astype(jnp.int32)
+        n_dropped = (total_f - n_pairs).astype(jnp.int32)
+
+        outs = expand_bin_pallas_packed(
+            offsets,
+            depth_order,
+            xy_s,
+            wh_s,
+            mx_s,
+            my_s,
+            jnp.stack(pk_s, axis=1),
+            jnp.stack(ch_s, axis=1),
+            mask_s,
+            grid_x,
+            max_pairs,
+            tile_size=tile_size,
+            num_tiles=num_tiles,
+            view_grid_y=view_grid_y,
+        )
+        slot, g, tile_id = outs[:3]
+        pair_feat_cols = outs[3:]  # mx, my, packed words
+        p = jnp.arange(max_pairs, dtype=jnp.int32)
+        valid = p < n_pairs
+        safe_tile = jnp.where(valid, tile_id, num_tiles)
+        assert packed, "packed tile key requires pair_bits+tile_bits <= 31"
+        key = safe_tile << pair_bits | p
+        sorted_ops2 = jax.lax.sort((key, g) + pair_feat_cols, num_keys=1)
+        sorted_key, pair_gauss = sorted_ops2[0], sorted_ops2[1]
+        pair_gm = sorted_key & ((1 << pair_bits) - 1)
+        boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << pair_bits
+        tile_ranges = jnp.searchsorted(
+            sorted_key, boundaries, side="left"
+        ).astype(jnp.int32)
+        mx_t, my_t = sorted_ops2[2], sorted_ops2[3]
+        pk_t = jnp.stack(sorted_ops2[4 : 4 + pk.shape[1]], axis=1)
+        ch_t = jnp.stack(
+            sorted_ops2[4 + pk.shape[1] : 4 + pk.shape[1] + chw], axis=1
+        )
+        pair_feats = jnp.concatenate(
+            [
+                mx_t[:, None],
+                my_t[:, None],
+                unpack24(pk_t.astype(jnp.uint32), 4),
+                unpack24(ch_t.astype(jnp.uint32), n_chan),
+            ],
+            axis=1,
+        )  # (P, 6 + C)
+        binning = Binning(
+            pair_gauss=pair_gauss,
+            pair_gm=pair_gm,
+            slot=slot,
+            tile_ranges=tile_ranges,
+            offsets=offsets,
+            counts=counts,
+            depth_order=depth_order,
+            counts_orig=counts_all,
+            n_pairs=n_pairs,
+            n_dropped=n_dropped,
+        )
+        return binning, pair_feats
 
     cols = [proj.tiles_min[:, 0], proj.tiles_min[:, 1], rect_w, counts_all]
     # the cull/channel/mask columns are consumed only by the Pallas expand's

@@ -417,3 +417,273 @@ def expand_slots_pallas(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(i0s, offs_2d)
     return out[:, 0:RPF, :].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Packed-payload variant (round 4): the depth sort carries 24-bit-packed
+# feature words and bit-packed rect ints instead of 15 raw f32 columns
+# (TPU sort cost is ~0.55-1 ms per operand at 1-2M rows -- PERF.md trace
+# table), and the tile sort downstream carries the packed words unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _bin_kernel_packed(
+    i0_ref, vals_hbm, out_hbm, vscr, oscr, sem_v, sem_w, *,
+    grid_x, tile_size, num_tiles, nt, pk_words, ch_words, view_grid_y=0,
+):
+    """Fused expand for the packed window layout:
+
+      row 0 offsets | 1 depth_order | 2 xy (x | y<<8) | 3 wh (w | h<<9) |
+      4 mx | 5 my | 6..6+PKW pack24(ca,cb,cc,opa) BITCAST f32 |
+      ..+CHW pack24(channels) bitcast | last: reachable-tile mask
+
+    u32 words cannot ride the bf16-split one-hot select (arbitrary bit
+    patterns make NaN/Inf under f32 views), so the kernel splits each word
+    row into exact 16-bit halves BEFORE the select and recombines after;
+    conic/opacity decode in-register for the exact ellipse cull, channel
+    words pass through packed -- the blend-side unpack happens in XLA after
+    the tile sort."""
+    from .pack import unpack24_rows_from_halves
+
+    t = pl.program_id(0)
+    p0 = t * TILE
+    i0 = i0_ref[t]
+    w0 = (i0 // 128) * 128
+    s = jax.lax.rem(t, 2)
+    nw = pk_words + ch_words
+
+    def rd(tt, ss):
+        ww = (i0_ref[tt] // 128) * 128
+        return pltpu.make_async_copy(
+            vals_hbm.at[:, pl.ds(ww, WIN)], vscr.at[ss], sem_v.at[ss]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        rd(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        rd(t + 1, 1 - s).start()
+
+    rd(t, s).wait()
+    v = vscr[s]  # (F, WIN) f32
+    offs = v[0:1, :]
+    pair_pos = p0 + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    pair_pos_f = pair_pos.astype(jnp.float32)
+    entry_idx = w0 + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+    le = jnp.logical_and(offs <= pair_pos_f, entry_idx >= i0)
+    ones_col = jnp.ones((WIN, 128), jnp.bfloat16)
+    cnt_m = jax.lax.dot_general(
+        le.astype(jnp.bfloat16),
+        ones_col,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cnt = cnt_m[:, 0:1].astype(jnp.int32)
+    slot_col = i0 + cnt - 1  # (TILE, 1)
+
+    # select input: 6 base rows + mask + 2*nw half rows (all ints < 2^24)
+    word_rows = jax.lax.bitcast_convert_type(v[6 : 6 + nw, :], jnp.uint32)
+    # Mosaic has no uint32 -> f32 cast; halves fit int32 exactly
+    lo_rows = (
+        (word_rows & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    )
+    hi_rows = (word_rows >> 16).astype(jnp.int32).astype(jnp.float32)
+    mask_r = v[6 + nw : 7 + nw, :]
+    sel_in = jnp.concatenate([v[0:6, :], mask_r, lo_rows, hi_rows], axis=0)
+
+    onehot = (entry_idx == slot_col).astype(jnp.bfloat16)  # (TILE, WIN)
+    s_hi = sel_in.astype(jnp.bfloat16)
+    r1 = sel_in - s_hi.astype(jnp.float32)
+    s_mid = r1.astype(jnp.bfloat16)
+    s_lo = (r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def sel_mm(a):
+        return jax.lax.dot_general(
+            a,
+            onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    sel = sel_mm(s_hi) + (sel_mm(s_mid) + sel_mm(s_lo))  # (rows, TILE)
+
+    pair_row = (
+        p0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    ).astype(jnp.float32)
+    r = pair_row - sel[0:1, :]
+    g_row = sel[1:2, :]
+    xy = sel[2:3, :].astype(jnp.int32)
+    wh = sel[3:4, :].astype(jnp.int32)
+    tmx = (xy & 255).astype(jnp.float32)
+    tmy = jax.lax.shift_right_logical(xy, 8).astype(jnp.float32)
+    w = jnp.maximum((wh & 511).astype(jnp.float32), 1.0)
+    q, rem = f32_divmod(r, w)
+    tx = tmx + rem
+    ty = tmy + q
+    tile_row = ty * grid_x + tx
+
+    mx, my = sel[4:5, :], sel[5:6, :]
+    m = sel[6:7, :].astype(jnp.int32)
+    lo_sel = sel[7 : 7 + nw, :]
+    hi_sel = sel[7 + nw : 7 + 2 * nw, :]
+    pk_vals = unpack24_rows_from_halves(
+        [(lo_sel[j : j + 1, :], hi_sel[j : j + 1, :]) for j in range(pk_words)],
+        4,
+    )
+    ca, cb, cc, opa = pk_vals
+
+    ty_l = ty
+    if view_grid_y:
+        gy = float(view_grid_y)
+        ty_l = ty - jnp.floor(ty / gy) * gy
+    keep = _tile_reachable(
+        tx * tile_size, ty_l * tile_size, float(tile_size), mx, my, ca, cb, cc, opa
+    )
+    tile_row = jnp.where(keep, tile_row, float(num_tiles))
+
+    # masked (small-rect) gaussians: pair r maps to the r-th set bit
+    jsel, found = select_nth_set_bit(m, r.astype(jnp.int32))
+    jf = jsel.astype(jnp.float32)
+    qm, rm = f32_divmod(jf, w)
+    tile_m = (tmy + qm) * grid_x + tmx + rm
+    tile_m = jnp.where(found, tile_m, float(num_tiles))
+    tile_row = jnp.where(m != MASK_NONE, tile_m, tile_row)
+
+    def wr(tt, ss):
+        return pltpu.make_async_copy(oscr.at[ss], out_hbm.at[tt], sem_w.at[ss])
+
+    @pl.when(t >= 2)
+    def _():
+        wr(t - 2, s).wait()
+
+    oscr[s, 0:RPF, :] = slot_col.reshape(RPF, 128)
+    oscr[s, RPF : 2 * RPF, :] = g_row.astype(jnp.int32).reshape(RPF, 128)
+    oscr[s, 2 * RPF : 3 * RPF, :] = tile_row.astype(jnp.int32).reshape(RPF, 128)
+    # per-pair outputs: mx, my (f32 bitcast) then the RECOMBINED packed
+    # words (u32, no decode -- the tile sort carries them as-is)
+    for j, fr in enumerate((mx, my)):
+        fr_i = jax.lax.bitcast_convert_type(fr, jnp.int32)
+        oscr[s, (3 + j) * RPF : (4 + j) * RPF, :] = fr_i.reshape(RPF, 128)
+    for j in range(nw):
+        word = lo_sel[j : j + 1, :].astype(jnp.int32) | (
+            hi_sel[j : j + 1, :].astype(jnp.int32) << 16
+        )
+        oscr[s, (5 + j) * RPF : (6 + j) * RPF, :] = word.reshape(RPF, 128)
+    wr(t, s).start()
+
+    @pl.when(t == nt - 1)
+    def _():
+        @pl.when(nt >= 2)
+        def _():
+            wr(t - 1, 1 - s).wait()
+
+        wr(t, s).wait()
+
+
+def expand_bin_pallas_packed(
+    offsets: jnp.ndarray,  # (N,) int32 exclusive prefix offsets (monotone)
+    depth_order: jnp.ndarray,  # (N,) int32
+    xy_d: jnp.ndarray,  # (N,) int32 x | y<<8, depth order
+    wh_d: jnp.ndarray,  # (N,) int32 w | h<<9, depth order
+    mx_d: jnp.ndarray,  # (N,) f32
+    my_d: jnp.ndarray,  # (N,) f32
+    pk_d: jnp.ndarray,  # (N, PKW) uint32 pack24(ca,cb,cc,opa)
+    ch_d: jnp.ndarray,  # (N, CHW) uint32 pack24(channels)
+    mask_d: jnp.ndarray,  # (N,) int32 reachable-tile bitmask / MASK_NONE
+    grid_x: int,
+    max_pairs: int,
+    tile_size: int,
+    num_tiles: int,
+    interpret: bool = False,
+    view_grid_y: int = 0,
+) -> tuple[jnp.ndarray, ...]:
+    """Packed-layout twin of expand_bin_pallas.  Returns
+    (slot, gauss, tile_id, mx, my, word_0 .. word_{PKW+CHW-1}) with the
+    words still packed (int32)."""
+    n = offsets.shape[0]
+    assert n < 2**24 and max_pairs < 2**24 and num_tiles < 2**24
+    assert max_pairs % TILE == 0, max_pairs
+    pkw = pk_d.shape[1]
+    chw = ch_d.shape[1]
+    nw = pkw + chw
+    nt = max_pairs // TILE
+    n_pad = ((n + 127) // 128 + (WIN // 128) + 1) * 128
+
+    def pad_f(x, const=0.0):
+        return jnp.pad(
+            x.astype(jnp.float32), (0, n_pad - n), constant_values=const
+        )
+
+    def pad_bits(x):
+        return jax.lax.bitcast_convert_type(
+            jnp.pad(x.astype(jnp.uint32), (0, n_pad - n)), jnp.float32
+        )
+
+    rows = [
+        pad_f(offsets, 2.0**24),
+        pad_f(depth_order),
+        pad_f(xy_d),
+        pad_f(wh_d),
+        pad_f(mx_d),
+        pad_f(my_d),
+    ]
+    rows += [pad_bits(pk_d[:, j]) for j in range(pkw)]
+    rows += [pad_bits(ch_d[:, j]) for j in range(chw)]
+    rows += [pad_f(mask_d, float(MASK_NONE))]
+    f_rows = (len(rows) + 7) // 8 * 8
+    rows += [jnp.zeros(n_pad, jnp.float32)] * (f_rows - len(rows))
+    vals = jnp.stack(rows)
+
+    tile_starts = jnp.arange(nt, dtype=jnp.int32) * TILE
+    i0s = (
+        jnp.searchsorted(offsets, tile_starts, side="right").astype(jnp.int32)
+        - 1
+    )
+    i0s = jnp.clip(i0s, 0, n - 1)
+
+    n_out_rows = 5 + nw  # slot | g | tile | mx | my | words
+    orows = (n_out_rows * RPF + 7) // 8 * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, f_rows, WIN), jnp.float32),
+            pltpu.VMEM((2, orows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _bin_kernel_packed,
+            grid_x=grid_x,
+            tile_size=tile_size,
+            num_tiles=num_tiles,
+            nt=nt,
+            pk_words=pkw,
+            ch_words=chw,
+            view_grid_y=view_grid_y,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, orows, 128), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(i0s, vals)
+    slot = out[:, 0:RPF, :].reshape(-1)
+    gauss = out[:, RPF : 2 * RPF, :].reshape(-1)
+    tile_id = out[:, 2 * RPF : 3 * RPF, :].reshape(-1)
+    mxy = tuple(
+        jax.lax.bitcast_convert_type(
+            out[:, (3 + j) * RPF : (4 + j) * RPF, :], jnp.float32
+        ).reshape(-1)
+        for j in range(2)
+    )
+    words = tuple(
+        out[:, (5 + j) * RPF : (6 + j) * RPF, :].reshape(-1)
+        for j in range(nw)
+    )
+    return (slot, gauss, tile_id) + mxy + words

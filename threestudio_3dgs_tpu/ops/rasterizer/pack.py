@@ -114,6 +114,90 @@ def unpack21_rows(packed: jnp.ndarray, f: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
+def pack24(cols: jnp.ndarray) -> jnp.ndarray:
+    """(P, F) f32 -> (P, ceil(F*3/4)) uint32: 4 values per 3 words at 24
+    bits each (sign + 8-bit exponent + 15-bit mantissa, rel err <= 2^-16 ~
+    1.5e-5).  Unlike pack21 (gradient budget 1e-3), 24-bit packing serves
+    FORWARD feature columns under the oracle-PSNR floor: alpha/color error
+    ~3e-5 keeps the pipeline at 90+ dB (floor 85).
+
+      w0 = v0 | (v1 & 0xFF)  << 24
+      w1 = (v1 >> 8)  | (v2 & 0xFFFF) << 16
+      w2 = (v2 >> 16) | v3 << 8
+    Trailing groups of 1/2/3 values use 1/2/3 words."""
+    p, f = cols.shape
+    words = []
+    for i in range(0, f, 4):
+        g = [_round_top_bits(cols[:, j], 24) for j in range(i, min(i + 4, f))]
+        n = len(g)
+        if n >= 2:
+            words.append(g[0] | (g[1] & jnp.uint32(0xFF)) << 24)
+        else:
+            words.append(g[0])
+        if n >= 3:
+            words.append((g[1] >> 8) | (g[2] & jnp.uint32(0xFFFF)) << 16)
+        elif n == 2:
+            words.append(g[1] >> 8)
+        if n == 4:
+            words.append((g[2] >> 16) | g[3] << 8)
+        elif n == 3:
+            words.append(g[2] >> 16)
+    return jnp.stack(words, axis=1)
+
+
+def unpack24(packed: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of pack24: (P, W) uint32 -> (P, f) f32."""
+    cols = []
+    w = 0
+    for i in range(0, f, 4):
+        n = min(4, f - i)
+        if n >= 1:
+            cols.append(
+                _from_top_bits(packed[:, w] & jnp.uint32(0xFFFFFF), 24)
+            )
+        if n >= 2:
+            v1 = (packed[:, w] >> 24) | (
+                packed[:, w + 1] & jnp.uint32(0xFFFF)
+            ) << 8
+            cols.append(_from_top_bits(v1, 24))
+        if n >= 3:
+            v2 = (packed[:, w + 1] >> 16) | (
+                packed[:, w + 2] & jnp.uint32(0xFF)
+            ) << 16
+            cols.append(_from_top_bits(v2, 24))
+        if n == 4:
+            cols.append(_from_top_bits(packed[:, w + 2] >> 8, 24))
+        w += (1, 1, 2, 3, 3)[n]
+    return jnp.stack(cols, axis=1)
+
+
+def unpack24_rows_from_halves(lo_hi_rows, f: int):
+    """Kernel-side decode: a list of (lo16, hi16) f32-int row pairs (each
+    value < 2^16, selected exactly through the one-hot matmul) -> f rows of
+    f32 features.  Mirrors unpack24's bit layout."""
+    words = [
+        lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
+        for lo, hi in lo_hi_rows
+    ]
+    words = [w.astype(jnp.uint32) for w in words]
+    rows = []
+    w = 0
+    for i in range(0, f, 4):
+        n = min(4, f - i)
+        if n >= 1:
+            rows.append(_from_top_bits(words[w] & jnp.uint32(0xFFFFFF), 24))
+        if n >= 2:
+            v1 = (words[w] >> 24) | (words[w + 1] & jnp.uint32(0xFFFF)) << 8
+            rows.append(_from_top_bits(v1, 24))
+        if n >= 3:
+            v2 = (words[w + 1] >> 16) | (words[w + 2] & jnp.uint32(0xFF)) << 16
+            rows.append(_from_top_bits(v2, 24))
+        if n == 4:
+            rows.append(_from_top_bits(words[w + 2] >> 8, 24))
+        w += (1, 1, 2, 3, 3)[n]
+    return rows
+
+
 def pack16(cols: jnp.ndarray) -> jnp.ndarray:
     """(P, F) f32 -> (P, ceil(F/2)) uint32, 2 bfloat16-precision values/word."""
     p, f = cols.shape
