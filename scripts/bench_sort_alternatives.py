@@ -11,14 +11,19 @@ fragment-DMA storm (latency-dead) or an O(n * range) one-hot matmul
   2. Counting-sort phase 1+2: per-block histogram via one-hot MXU matmul
      (Pallas, sequential grid) + XLA prefix -- the cheap part, measured.
   3. The apply phase's fragment-DMA cost: a Pallas kernel that issues K
-     dynamic (L x 44 B) HBM->HBM copies per block, swept over realistic
+     dynamic (L x 64 B) HBM->HBM copies per block, swept over realistic
      fragment sizes -- the per-fragment cost extrapolates to the full apply.
   4. The in-VMEM one-hot permutation alternative (local 2048-row stable
      bucket sort as a (2048, 2048) bf16 matmul) -- the FLOP-dead variant,
      measured per block.
 
-Verdict rule: adopt if a full counting sort would beat 6.7 ms/sort at 2M;
-else the rejection stands ON DATA.
+All timings are serial chains (each iteration's input depends on the
+previous iteration's output) inside ONE compiled fori_loop -- the axon
+tunnel elides naively repeated identical dispatches (PERF.md pitfalls), so
+free-standing `timeit(f, x)` loops report fantasy numbers here.
+
+Verdict rule: adopt if a full counting sort would beat the measured
+1-key+payload anchor at 2M; else the round-3 rejection stands ON DATA.
 """
 
 import functools
@@ -40,35 +45,57 @@ keys = np.sort(rng.integers(0, NT, size=P)).astype(np.int32)
 rng.shuffle(keys)  # uniform random tile ids
 payloads = [rng.random(P).astype(np.float32) for _ in range(10)]
 
+def _fetch(tree):
+    """Force completion via a host transfer -- jax.block_until_ready returns
+    early through the axon tunnel for single small dispatches (measured:
+    32 chained 2M sorts "complete" in 0.09 ms under block_until_ready but
+    take 107 ms under a host fetch)."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return np.asarray(leaf.reshape(-1)[:8])
 
-def timeit(fn, *a, iters=6, warm=1):
-    for _ in range(warm):
-        r = fn(*a)
-    jax.block_until_ready(r)
+
+def chain_time(step, carry, n_lo=4, n_hi=20):
+    """Per-iteration ms of `step` (carry -> carry), serial chain in one jit.
+
+    Times a host-fetch-terminated fori_loop at two iteration counts and
+    reports the slope -- cancelling tunnel latency and fetch cost, and
+    defeating dispatch elision (each timed call's input is the previous
+    call's output buffer)."""
+    f = jax.jit(
+        lambda c, n: jax.lax.fori_loop(0, n, lambda i, cc: step(cc), c)
+    )
+    r = f(carry, 1)
+    _fetch(r)  # compile + warm
+    r = f(r, 2)
+    _fetch(r)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*a)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters * 1000
+    r = f(r, n_lo)
+    _fetch(r)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = f(r, n_hi)
+    _fetch(r)
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (n_hi - n_lo) * 1000
 
 
 # ---- 1. lax.sort anchors ---------------------------------------------------
+# Bitonic network cost is data-independent, so re-sorting the sorted output
+# is a valid chain; the carry dependence defeats dispatch elision/CSE.
 keys_j = jnp.asarray(keys)
 pls = [jnp.asarray(p) for p in payloads]
 
-
-@jax.jit
-def sort1(k):
-    return jax.lax.sort((k,), num_keys=1)[0]
+t1 = chain_time(lambda k: jax.lax.sort((k,), num_keys=1)[0], keys_j)
+print(f"lax.sort 1-key @2M:         {t1:7.2f} ms")
 
 
-@jax.jit
-def sort12(k, *ps):
-    return jax.lax.sort((k,) + ps, num_keys=1)[0]
+def _sort12(c):
+    out = jax.lax.sort(c, num_keys=1)
+    return out
 
 
-print(f"lax.sort 1-key @2M:        {timeit(sort1, keys_j):7.2f} ms")
-print(f"lax.sort 1-key+11 payload: {timeit(sort12, keys_j, *pls, jnp.asarray(keys)):7.2f} ms")
+t12p = chain_time(_sort12, tuple([keys_j] + pls + [keys_j]))
+print(f"lax.sort 1-key+11 payload:  {t12p:7.2f} ms")
 
 
 # ---- 2. histogram kernel (phase 1) ----------------------------------------
@@ -98,8 +125,8 @@ def hist_pallas(k2d):
     return pl.pallas_call(
         _hist_kernel,
         grid=(NB,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((NB, 8, NTP), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((8, BLK), jnp.int32),
@@ -116,16 +143,19 @@ keys_2d = jnp.broadcast_to(
 ).astype(jnp.int32)
 
 
-@jax.jit
-def phase12(k2d):
+def _phase12(k2d):
     h = hist_pallas(k2d)[:, 0, :NT]  # (NB, NT)
     block_prefix = jnp.cumsum(h, axis=0) - h  # exclusive over blocks
     bucket_totals = jnp.sum(h, axis=0)
     bucket_starts = jnp.cumsum(bucket_totals) - bucket_totals
-    return block_prefix + bucket_starts[None, :]  # (NB, NT) write starts
+    starts = block_prefix + bucket_starts[None, :]  # (NB, NT) write starts
+    # chain: total count == P always, so this adds 0 -- but the compiler
+    # cannot know that, forcing each iteration to depend on the last.
+    zero = (jnp.sum(h).astype(jnp.int32) - P).astype(jnp.int32)
+    return k2d + zero, starts
 
 
-t12 = timeit(phase12, keys_2d)
+t12 = chain_time(lambda c: _phase12(c)[0], keys_2d)
 print(f"counting phases 1+2 (hist kernel + prefix): {t12:7.2f} ms")
 
 
@@ -133,50 +163,54 @@ print(f"counting phases 1+2 (hist kernel + prefix): {t12:7.2f} ms")
 # realistic fragment census from the actual key stream: distinct buckets per
 # 2048-row block, fragment length distribution
 frag_counts = []
-for b in range(0, NB, 8):
+for b in range(NB):
     blk = keys[b * BLK : (b + 1) * BLK]
     frag_counts.append(len(np.unique(blk)))
 favg = float(np.mean(frag_counts))
 print(f"fragments (distinct buckets) per {BLK}-block: mean {favg:.0f}")
 
-ROWB = 48  # bytes per row (key + 11 payload words)
 FRAGS = 192  # fragments issued per program in the microbenchmark
 
 
-def _frag_kernel(starts_ref, src_hbm, dst_hbm, sems, *, frags, flen):
+def _frag_kernel(starts_smem, src_hbm, dst_hbm, sems, *, frags, flen):
     b = pl.program_id(0)
     for j in range(frags):
-        s = starts_ref[b * frags + j]
+        s = starts_smem[b * frags + j]
         cp = pltpu.make_async_copy(
             src_hbm.at[pl.ds(s, flen)], dst_hbm.at[pl.ds(s, flen)], sems.at[j]
         )
         cp.start()
     for j in range(frags):
-        s = starts_ref[b * frags + j]
+        s = starts_smem[b * frags + j]
         pltpu.make_async_copy(
             src_hbm.at[pl.ds(s, flen)], dst_hbm.at[pl.ds(s, flen)], sems.at[j]
         ).wait()
 
 
 def frag_bench(nprog, frags, flen):
+    # HBM slices must be 128-lane aligned, so physical rows are 512 B here
+    # (vs ~48 B real pair rows) -- per-DMA cost is latency-dominated at these
+    # sizes, so this bounds the real apply cost from ABOVE by < 2x.
     rows = P // 8
-    src = jnp.asarray(rng.random((rows, 16)).astype(np.float32))  # 64 B rows
+    src = jnp.asarray(rng.random((rows, 128)).astype(np.float32))
     starts = jnp.asarray(
         rng.integers(0, rows - flen, size=nprog * frags).astype(np.int32)
     )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((frags,))],
+    )
     fn = pl.pallas_call(
         functools.partial(_frag_kernel, frags=frags, flen=flen),
-        grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((rows, 16), jnp.float32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((frags,))],
-        input_output_aliases={1: 0},
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        input_output_aliases={1: 0},  # src (after prefetch arg) -> out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        grid_spec=None,
     )
-    jfn = jax.jit(lambda st, s: fn(st, s))
-    ms = timeit(jfn, starts, src, iters=4)
+    ms = chain_time(lambda s: fn(starts, s), src, n_lo=4, n_hi=24)
     per_dma_us = ms * 1000 / (nprog * frags)
     return ms, per_dma_us
 
@@ -194,12 +228,12 @@ for flen in (8, 16):
 # ---- 4. one-hot permutation apply (FLOP variant), one block ---------------
 def _perm_kernel(vals_hbm, perm_hbm, out_hbm, vscr, pscr, oscr, sv, sp, so):
     b = pl.program_id(0)
-    for c, (h, s) in (
-        (0, (vals_hbm, sv)), (1, (perm_hbm, sp))
-    ):
-        cp = pltpu.make_async_copy(h.at[b], vscr if c == 0 else pscr, s)
-        cp.start()
-        cp.wait()
+    cp = pltpu.make_async_copy(vals_hbm.at[b], vscr, sv)
+    cp.start()
+    cp2 = pltpu.make_async_copy(perm_hbm.at[b], pscr, sp)
+    cp2.start()
+    cp.wait()
+    cp2.wait()
     dst = pscr[0:1, :]  # (1, BLK) destination position per row
     cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
     onehot = (dst.reshape(BLK, 1) == cols).astype(jnp.bfloat16)
@@ -234,10 +268,10 @@ def perm_bench():
         _perm_kernel,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((NB, f8, BLK), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((f8, BLK), jnp.float32),
@@ -249,8 +283,7 @@ def perm_bench():
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
-    jfn = jax.jit(lambda v, p: fn(v, p))
-    ms = timeit(jfn, vals, perm, iters=4)
+    ms = chain_time(lambda v: fn(v, perm), vals, n_lo=2, n_hi=6)
     print(
         f"one-hot local permutation (16 rows x {BLK}x{BLK} bf16, {NB} blocks): "
         f"{ms:7.2f} ms  (local reorder only -- the apply still needs the "
