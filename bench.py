@@ -80,7 +80,12 @@ def main():
     # its pair buffers exactly per frame; a static capacity is the TPU
     # equivalent.  Measured demand 1.491M pairs after exact pre-expansion
     # culling; ~5% headroom keeps n_dropped == 0 (asserted below).
-    cfg = RasterizeConfig(tile_size=32, max_pairs=1536 * 1024)
+    # A/B knobs (defaults = the production configuration)
+    import os
+
+    ts = int(os.environ.get("BENCH_TILE_SIZE", "32"))
+    mp = int(os.environ.get("BENCH_MAX_PAIRS", str(1536 * 1024)))
+    cfg = RasterizeConfig(tile_size=ts, max_pairs=mp)
 
     means_j = jnp.asarray(means)
     scales_j = jnp.asarray(scales)

@@ -9,7 +9,10 @@ independent).
 
 Prints measured ms, model FLOPs, and %SoL vs the v5e MXU peak, then a
 projected full real-SDS step (render fwd+bwd + VAE encode fwd+bwd + 2x UNet
-(CFG) fwd + VAE-grad bwd) for PERF.md.
+(CFG) fwd + VAE-grad bwd) for PERF.md.  SUPERSEDED round 4: the whole chain
+is now timed as ONE compiled program on hardware by
+scripts/bench_full_sds_step.py (364 ms/step, PERF.md "Round-4 full SDS
+step"); this script remains for per-component attribution.
 
 Benchmark methodology per PERF.md pitfalls: chained serial calls (each
 input depends on the previous output) inside one jit, so the tunnel cannot

@@ -65,10 +65,10 @@ unet_params = jax.jit(unet.init)(
     k1,
     jnp.zeros((2, lat_hw, lat_hw, 4)),
     jnp.zeros((2,), jnp.int32),
-    jnp.zeros((2, 77, SD21_UNET.context_dim)),
+    jnp.zeros((2, 77, SD21_UNET.cross_attention_dim)),
 )
 vae_params = jax.jit(vae.init)(k2, jnp.zeros((1, res, res, 3)))
-ctx_cond = jax.random.normal(k3, (B, 77, SD21_UNET.context_dim)) * 0.02
+ctx_cond = jax.random.normal(k3, (B, 77, SD21_UNET.cross_attention_dim)) * 0.02
 ctx_uncond = jnp.zeros_like(ctx_cond)
 sched = {"min_step": jnp.int32(20), "max_step": jnp.int32(980)}
 bg = jnp.zeros(3)
@@ -79,15 +79,17 @@ p_opac = jnp.asarray(opacities)
 p_colors = jnp.asarray(colors)
 
 
-def denoise(noisy, t, k):
-    latents2 = jnp.concatenate([noisy, noisy], axis=0)
-    t2 = jnp.concatenate([t, t], axis=0)
-    ctx = jnp.concatenate([ctx_uncond, ctx_cond], axis=0)
-    eps = unet.apply(unet_params, latents2, t2, ctx)
-    return eps[:B], eps[B:]
+# params are jit ARGUMENTS, not closure constants: closing over the 3.6 GB
+# UNet/VAE pytrees bakes them into the lowered module as captured constants
+# (JAX warns; lowering alone took > 9 min through the tunnel)
+def step_loss(up, vp, ms, sc, qt, op, co, k):
+    def denoise(noisy, t, _k):
+        latents2 = jnp.concatenate([noisy, noisy], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        ctx = jnp.concatenate([ctx_uncond, ctx_cond], axis=0)
+        eps = unet.apply(up, latents2, t2, ctx)
+        return eps[:B], eps[B:]
 
-
-def step_loss(ms, sc, qt, op, co, k):
     imgs = []
     for cam in cams:
         out = rasterize(
@@ -96,14 +98,18 @@ def step_loss(ms, sc, qt, op, co, k):
         )
         imgs.append(out["image"])
     img = jnp.stack(imgs)  # (B, H, W, 3)
-    moments = vae.apply(vae_params, img * 2.0 - 1.0)
+    moments = vae.apply(vp, img * 2.0 - 1.0)
     k_lat, k_sds = jax.random.split(k)
     latents = sample_latents(moments, k_lat, 0.18215)
     loss, aux = sds_loss(latents, denoise, k_sds, sched, sds_cfg, alphas)
     return loss
 
 
-grad_fn = jax.jit(jax.grad(step_loss, argnums=(0, 1, 2, 3, 4)))
+_grad = jax.jit(jax.grad(step_loss, argnums=(2, 3, 4, 5, 6)))
+
+
+def grad_fn(ms, sc, qt, op, co, k):
+    return _grad(unet_params, vae_params, ms, sc, qt, op, co, k)
 
 raw_sc = jnp.log(p_scales)
 raw_op = jnp.log(p_opac / (1.0 - p_opac))
@@ -127,15 +133,19 @@ def timed(fn, label):
     k = jax.random.PRNGKey(1)
     t_c0 = time.perf_counter()
     g = fn(p_means, raw_sc, p_quats, raw_op, p_colors, k)
-    jax.block_until_ready(g)
+    np.asarray(jax.tree_util.tree_leaves(g)[0][:1])  # host fetch: true sync
     compile_s = time.perf_counter() - t_c0
     t0 = time.perf_counter()
     for i in range(args.iters):
         k = jax.random.fold_in(k, i)  # fresh key -> fresh timestep draw
         g = fn(p_means, raw_sc, p_quats, raw_op, p_colors, k)
-    jax.block_until_ready(g)
+    # terminate with a HOST FETCH, not block_until_ready: the tunnel does
+    # not synchronize single dispatches under block_until_ready (PERF.md
+    # round-4 sort-bench pitfall)
+    np.asarray(jax.tree_util.tree_leaves(g)[0][:1])
     ms = (time.perf_counter() - t0) / args.iters * 1000
-    print(f"{label}: {ms:8.2f} ms/step  (first call incl. compile {compile_s:.0f}s)")
+    print(f"{label}: {ms:8.2f} ms/step  (first call incl. compile {compile_s:.0f}s)",
+          flush=True)
     return ms
 
 

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Flagship-scale hardware training demo (round-4 verdict item 5): 512^2,
+batch 4 cameras, fake-SDS guidance, densify from 4k to >= 100k Gaussians,
+>= 500 steps, driven through the SAME system.train_step the Trainer uses
+(adaptive pair capacity ON so retrace stalls are real and recorded).
+
+Batches are device-staged in a reusable pool before timing (per-step host ->
+device transfers through the axon tunnel cost 10s-100s of ms and measure the
+link, not the chip -- PERF.md pitfalls).  Records the ms/step curve across
+capacity buckets, densify growth, retrace count, and ships a final render to
+docs/demo/flagship_512.png.
+
+Matches the reference flagship schedule
+(/root/reference/configs/gaussian_splatting.yaml:8-10,85-89: 512^2 B=4,
+densify interval 100 to 500k; we cap at 131k for the demo's step budget).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/flagship_densify_run.py
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--b", type=int, default=4)
+    ap.add_argument("--init", type=int, default=4096)
+    ap.add_argument("--cap", type=int, default=131072)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--pool", type=int, default=24)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from threestudio_3dgs_tpu.data.uncond import (
+        RandomCameraDataModuleConfig,
+        RandomCameraSampler,
+    )
+    from threestudio_3dgs_tpu.systems.base import to_device_batch
+    from threestudio_3dgs_tpu.utils.registry import find
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    system = find("gaussian-splatting-system")(
+        {
+            "geometry_type": "gaussian-splatting",
+            "geometry": {
+                "init_num_pts": args.init,
+                "max_num": args.cap,
+                "capacity": args.cap,
+                "densify_from_iter": 50,
+                "densification_interval": 50,
+                "densify_until_iter": args.steps - 50,
+                "prune_from_iter": 50,
+                "prune_interval": 50,
+                "prune_until_iter": args.steps - 50,
+                "densify_grad_threshold": 0.0002,
+                "min_opac_prune": 0.005,
+            },
+            "renderer_type": "diff-gaussian-rasterizer-advanced",
+            "renderer": {
+                "tile_size": 32,
+                "max_pairs": 256 * 1024,
+                "adaptive_max_pairs": True,
+                "impl": "pallas" if jax.default_backend() != "cpu" else "jax",
+            },
+            "guidance_type": "fake-sds-guidance",
+            "guidance": {"target_color": [0.85, 0.3, 0.1]},
+            "loss": {
+                "lambda_sds": 1.0,
+                "lambda_position": 1.0,
+                "lambda_opacity": 0.0005,
+                "lambda_scales": 0.0005,
+                "lambda_tv_loss": 1.0,
+            },
+        }
+    )
+    state = system.init_state(0)
+    sampler = RandomCameraSampler(
+        RandomCameraDataModuleConfig(
+            batch_size=args.b, height=args.res, width=args.res
+        )
+    )
+
+    # device-staged batch pool, cycled
+    staged = []
+    for _ in range(args.pool):
+        raw = sampler.sample()
+        db = to_device_batch(raw)
+        db["height"], db["width"] = raw["height"], raw["width"]
+        staged.append(db)
+    jax.block_until_ready(
+        [v for d in staged for v in d.values() if hasattr(v, "block_until_ready")]
+    )
+
+    key = jax.random.PRNGKey(0)
+    curve = []  # (step, wall_ms, n_alive, pair_capacity, retraces)
+    window_t0 = time.perf_counter()
+    window_n = 0
+    WINDOW = 25
+    t_run0 = time.perf_counter()
+    nan_trips = 0
+    for step in range(1, args.steps + 1):
+        key, k = jax.random.split(key)
+        state, logs = system.train_step(state, staged[step % args.pool], step, k)
+        # sync once per WINDOW, not per step: per-iter host syncs add
+        # 100-600 ms of tunnel latency each and would measure the link
+        # (PERF.md pitfalls); the curve is window-granular anyway
+        window_n += 1
+        if step % WINDOW == 0:
+            jax.block_until_ready(state.gauss.params.xyz)
+            loss = float(np.asarray(logs["train/loss_total"]))
+            if not np.isfinite(loss):
+                nan_trips += 1
+            alive = int(state.gauss.n_alive)
+            cap = system._pair_capacity()
+            w_ms = (time.perf_counter() - window_t0) / window_n * 1000
+            curve.append(
+                dict(step=step, ms=round(w_ms, 1), alive=alive,
+                     pair_cap=cap, retraces=system._retrace_count,
+                     loss=round(loss, 2))
+            )
+            print(
+                f"step {step:4d}  {w_ms:7.1f} ms/step  alive={alive:6d}  "
+                f"pair_cap={cap}  retraces={system._retrace_count}  "
+                f"loss={loss:.2f}",
+                flush=True,
+            )
+            window_t0 = time.perf_counter()
+            window_n = 0
+    total_s = time.perf_counter() - t_run0
+    alive = int(state.gauss.n_alive)
+    print(
+        f"DONE: {args.steps} steps in {total_s:.0f}s, "
+        f"{args.init} -> {alive} gaussians, "
+        f"{system._retrace_count} capacity retraces, nan_trips={nan_trips}"
+    )
+    with open("docs/demo/flagship_512_curve.json", "w") as f:
+        json.dump(
+            dict(res=args.res, b=args.b, steps=args.steps, final_alive=alive,
+                 retraces=system._retrace_count, total_s=round(total_s, 1),
+                 curve=curve),
+            f, indent=1,
+        )
+
+    # final render -> docs/demo/
+    raw = sampler.sample()
+    raw["index"] = 0
+    out = system.render_views(state, [raw])[0]
+    img = np.asarray(out["comp_rgb"][0])
+    img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    try:
+        from PIL import Image
+
+        Image.fromarray(img8).save("docs/demo/flagship_512.png")
+        print("render -> docs/demo/flagship_512.png")
+    except ImportError:
+        np.save("docs/demo/flagship_512.npy", img8)
+        print("render -> docs/demo/flagship_512.npy (no PIL)")
+
+
+if __name__ == "__main__":
+    main()
