@@ -136,9 +136,18 @@ def timed(fn, label):
     np.asarray(jax.tree_util.tree_leaves(g)[0][:1])  # host fetch: true sync
     compile_s = time.perf_counter() - t_c0
     t0 = time.perf_counter()
+    ms_in = p_means
     for i in range(args.iters):
         k = jax.random.fold_in(k, i)  # fresh key -> fresh timestep draw
-        g = fn(p_means, raw_sc, p_quats, raw_op, p_colors, k)
+        g = fn(ms_in, raw_sc, p_quats, raw_op, p_colors, k)
+        # CHAIN the dispatches: iteration i+1's means input carries a zero-
+        # valued contribution from iteration i's gradient, so the tunnel
+        # cannot overlap dispatch with compute (same methodology as
+        # bench_diffusion.py / profile_batched_vmap.py; round-4 advisor
+        # finding -- unchained fresh-key dispatches can hide host dispatch
+        # latency behind pipelining)
+        g0 = jax.tree_util.tree_leaves(g)[0]
+        ms_in = p_means + 0.0 * g0[:1, :1]
     # terminate with a HOST FETCH, not block_until_ready: the tunnel does
     # not synchronize single dispatches under block_until_ready (PERF.md
     # round-4 sort-bench pitfall)

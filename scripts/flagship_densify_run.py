@@ -19,7 +19,14 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/flagship_densify_ru
 
 import argparse
 import json
+import os
 import time
+
+# Resolve output paths against the repo root, not the cwd: the open() at the
+# end must not fail (discarding the measured curve) when the script is run
+# from elsewhere (round-4 advisor finding).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_DEMO = os.path.join(_REPO, "docs", "demo")
 
 
 def main():
@@ -32,7 +39,10 @@ def main():
     ap.add_argument("--pool", type=int, default=24)
     args = ap.parse_args()
 
+    os.makedirs(_DEMO, exist_ok=True)  # early writability check, before the run
+
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from threestudio_3dgs_tpu.data.uncond import (
@@ -103,9 +113,17 @@ def main():
     WINDOW = 25
     t_run0 = time.perf_counter()
     nan_trips = 0
+    # Device-side OR-accumulated non-finiteness flag: every step's loss is
+    # checked on device (no host sync), fetched once per window alongside the
+    # existing sync -- NaN detection covers all steps, not 1 in 25
+    # (round-4 advisor finding).
+    any_nonfinite = jnp.zeros((), jnp.bool_)
     for step in range(1, args.steps + 1):
         key, k = jax.random.split(key)
         state, logs = system.train_step(state, staged[step % args.pool], step, k)
+        any_nonfinite = jnp.logical_or(
+            any_nonfinite, ~jnp.isfinite(logs["train/loss_total"])
+        )
         # sync once per WINDOW, not per step: per-iter host syncs add
         # 100-600 ms of tunnel latency each and would measure the link
         # (PERF.md pitfalls); the curve is window-granular anyway
@@ -113,8 +131,9 @@ def main():
         if step % WINDOW == 0:
             jax.block_until_ready(state.gauss.params.xyz)
             loss = float(np.asarray(logs["train/loss_total"]))
-            if not np.isfinite(loss):
+            if bool(np.asarray(any_nonfinite)):
                 nan_trips += 1
+                any_nonfinite = jnp.zeros((), jnp.bool_)
             alive = int(state.gauss.n_alive)
             cap = system._pair_capacity()
             w_ms = (time.perf_counter() - window_t0) / window_n * 1000
@@ -136,9 +155,10 @@ def main():
     print(
         f"DONE: {args.steps} steps in {total_s:.0f}s, "
         f"{args.init} -> {alive} gaussians, "
-        f"{system._retrace_count} capacity retraces, nan_trips={nan_trips}"
+        f"{system._retrace_count} capacity retraces, "
+        f"nan_trips={nan_trips} (windows of {WINDOW} steps with any non-finite loss)"
     )
-    with open("docs/demo/flagship_512_curve.json", "w") as f:
+    with open(os.path.join(_DEMO, "flagship_512_curve.json"), "w") as f:
         json.dump(
             dict(res=args.res, b=args.b, steps=args.steps, final_alive=alive,
                  retraces=system._retrace_count, total_s=round(total_s, 1),
@@ -155,11 +175,11 @@ def main():
     try:
         from PIL import Image
 
-        Image.fromarray(img8).save("docs/demo/flagship_512.png")
-        print("render -> docs/demo/flagship_512.png")
+        Image.fromarray(img8).save(os.path.join(_DEMO, "flagship_512.png"))
+        print(f"render -> {os.path.join(_DEMO, 'flagship_512.png')}")
     except ImportError:
-        np.save("docs/demo/flagship_512.npy", img8)
-        print("render -> docs/demo/flagship_512.npy (no PIL)")
+        np.save(os.path.join(_DEMO, "flagship_512.npy"), img8)
+        print(f"render -> {os.path.join(_DEMO, 'flagship_512.npy')} (no PIL)")
 
 
 if __name__ == "__main__":

@@ -106,8 +106,12 @@ def chain(loss):
 
 
 def timed(label, fn):
+    # Warm up with the SAME static iters value as the timed call: iters is a
+    # jit static arg, so a different warm-up value would leave the timed call
+    # to retrace+recompile the whole gradient scan inside the timed region
+    # (round-4 advisor finding), inflating ms/step by compile_time/iters.
     t0 = time.perf_counter()
-    out, _ = fn(p, 1)
+    out, _ = fn(p, args.iters)
     np.asarray(out[:1])  # host fetch: true sync through the tunnel
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
