@@ -59,7 +59,10 @@ jax.block_until_ready(g)
 jax.profiler.stop_trace()
 
 # parse the xplane proto for op durations
-from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa: E402
+try:
+    from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa: E402
+except ModuleNotFoundError:  # tf moved it under tsl
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 
 paths = sorted(
     glob.glob(logdir + "/**/*.xplane.pb", recursive=True),
@@ -85,3 +88,27 @@ for plane in space.planes:
     print(f"== plane: {plane.name} (top ops, ms over 3 steps) ==")
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {ms / 3:9.3f} ms  {name[:110]}")
+
+    # Small-op tail bucketed by HLO op kind (round-5 verdict item 2: the
+    # ~840 sub-0.45 ms ops summing to ~8.4 ms had no owner).  Kind = the
+    # HLO name up to the first digit/dot ("fusion", "copy", "transpose",
+    # "concatenate", ...).
+    import re
+
+    buckets = {}
+    for name, tot in totals.items():
+        per_step = tot / 3
+        if per_step >= 0.45:
+            continue
+        kind = re.split(r"[.\d]", name, 1)[0] or name
+        b = buckets.setdefault(kind, [0.0, 0, []])
+        b[0] += per_step
+        b[1] += 1
+        if len(b[2]) < 4:
+            b[2].append(name)
+    print("== small-op tail (< 0.45 ms each) by HLO kind, per step ==")
+    for kind, (ms, cnt, ex) in sorted(
+        buckets.items(), key=lambda kv: -kv[1][0]
+    )[:20]:
+        print(f"  {ms:7.3f} ms  x{cnt:4d}  {kind:24s} e.g. {ex}")
+    print(f"  total tail: {sum(b[0] for b in buckets.values()):.2f} ms")

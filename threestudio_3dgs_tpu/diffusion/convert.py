@@ -586,3 +586,47 @@ def load_torch_state_dict(path: str):
     return {
         k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")
     }
+
+
+def cast_params_half(params, dtype=None):
+    """Cast conv/dense parameter leaves to bf16 for TPU compute, keeping every
+    normalization scale/bias f32.
+
+    With flax modules built at dtype=bf16 the params would be cast at every
+    apply anyway; storing them half up front additionally halves the weight
+    HBM read per UNet call (~3.5 GB f32 for SD 2.1).  Normalization leaves
+    stay f32: GroupNorm/LayerNorm statistics promote to f32 only when at
+    least one operand is f32 (flax dtype promotion), and their epsilons
+    (1e-5/1e-6) sit below bf16 resolution.  Norm modules are identified by
+    name ("norm1", "group_norm", "conv_norm_out", ... -- every norm in
+    unet.py/vae.py contains "norm")."""
+    import jax.numpy as jnp
+    from jax import tree_util
+
+    dtype = dtype or jnp.bfloat16
+
+    def cast(path, leaf):
+        names = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "norm" in names:
+            return leaf
+        return leaf.astype(dtype)
+
+    return tree_util.tree_map_with_path(cast, params)
+
+
+def tpu_fast_model_config(model_cfg, half_precision: bool):
+    """Production TPU speed knobs for a UNet/VAE config: bf16 compute dtype
+    when `half_precision` (the reference's `half_precision_weights: True`
+    default, threestudio SD guidance), and Pallas flash attention for UNet
+    configs (safe to set unconditionally -- the attention wrapper falls back
+    to einsum off-TPU and for short sequences)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    kw = {}
+    if hasattr(model_cfg, "use_flash_attention"):
+        kw["use_flash_attention"] = True
+    if half_precision:
+        kw["dtype"] = jnp.bfloat16
+    return dataclasses.replace(model_cfg, **kw) if kw else model_cfg

@@ -22,11 +22,14 @@ reference's `mvdream-multiview-diffusion-guidance`
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ..ops.flash_attention import attention as _attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +56,9 @@ class UNet2DConditionConfig:
     freq_shift: float = 0.0
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 for TPU speed)
+    # Pallas flash attention for long self-attention sequences (TPU only;
+    # forward-only -- valid because SDS stop-gradients the denoiser)
+    use_flash_attention: bool = False
     # multiview (MVDream): batch is V consecutive views of one scene;
     # self-attention attends across all V*H*W tokens jointly
     num_views: int = 1
@@ -110,6 +116,7 @@ class Attention(nn.Module):
     heads: int
     dim_head: int
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -124,13 +131,11 @@ class Attention(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.dim_head, jnp.float32))
-        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        # f32 softmax regardless of compute dtype
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-            v.dtype
-        )
-        out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, n, inner)
+        scale = 1.0 / math.sqrt(float(self.dim_head))
+        # Pallas flash kernel for long self-attention (f32 softmax inside);
+        # einsum with f32 softmax otherwise -- ops/flash_attention.py
+        out = _attention(q, k, v, scale, use_flash=self.flash)
+        out = out.reshape(b, n, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out_0")(out)
 
 
@@ -140,6 +145,7 @@ class TransformerBlock(nn.Module):
     cross_dim: int
     dtype: jnp.dtype = jnp.float32
     num_views: int = 1
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -151,13 +157,17 @@ class TransformerBlock(nn.Module):
             bv, n, c = h1.shape
             v = self.num_views
             h1 = h1.reshape(bv // v, v * n, c)
-            a1 = Attention(self.heads, self.dim_head, self.dtype, name="attn1")(h1)
+            a1 = Attention(
+                self.heads, self.dim_head, self.dtype, self.flash, name="attn1"
+            )(h1)
             x = x + a1.reshape(bv, n, c)
         else:
             x = x + Attention(
-                self.heads, self.dim_head, self.dtype, name="attn1"
+                self.heads, self.dim_head, self.dtype, self.flash, name="attn1"
             )(h1)
-        x = x + Attention(self.heads, self.dim_head, self.dtype, name="attn2")(
+        x = x + Attention(
+            self.heads, self.dim_head, self.dtype, self.flash, name="attn2"
+        )(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context
         )
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
@@ -177,6 +187,7 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_groups: int = 32
     num_views: int = 1
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -191,7 +202,7 @@ class Transformer2D(nn.Module):
             x = x.reshape(b, h * w, c)
         x = TransformerBlock(
             self.heads, self.dim_head, self.cross_dim, self.dtype,
-            self.num_views, name="transformer_blocks_0",
+            self.num_views, self.flash, name="transformer_blocks_0",
         )(x, context)
         if self.use_linear:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
@@ -250,7 +261,8 @@ class UNet2DCondition(nn.Module):
                     h = Transformer2D(
                         heads, ch // heads, cfg.cross_attention_dim,
                         cfg.use_linear_projection, dt, cfg.norm_groups,
-                        cfg.num_views, name=f"down_{i}_attn_{j}",
+                        cfg.num_views, cfg.use_flash_attention,
+                        name=f"down_{i}_attn_{j}",
                     )(h, context)
                 skips.append(h)
             if i < len(cfg.block_out_channels) - 1:
@@ -267,7 +279,7 @@ class UNet2DCondition(nn.Module):
         h = Transformer2D(
             heads, ch // heads, cfg.cross_attention_dim,
             cfg.use_linear_projection, dt, cfg.norm_groups, cfg.num_views,
-            name="mid_attn",
+            cfg.use_flash_attention, name="mid_attn",
         )(h, context)
         h = ResnetBlock(ch, dt, cfg.norm_groups, name="mid_resnet_1")(h, temb)
 
@@ -286,7 +298,8 @@ class UNet2DCondition(nn.Module):
                     h = Transformer2D(
                         heads, ch // heads, cfg.cross_attention_dim,
                         cfg.use_linear_projection, dt, cfg.norm_groups,
-                        cfg.num_views, name=f"up_{i}_attn_{j}",
+                        cfg.num_views, cfg.use_flash_attention,
+                        name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i < len(cfg.up_block_types) - 1:
                 b, hh, ww, cc = h.shape

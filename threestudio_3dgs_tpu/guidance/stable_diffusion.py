@@ -94,6 +94,14 @@ class StableDiffusionGuidance(BaseGuidance):
         if os.path.isfile(cfg_json):
             # real diffusers checkpoints ship their architecture; honor it
             unet_cfg = unet_config_from_diffusers_json(cfg_json)
+        from ..diffusion.convert import cast_params_half, tpu_fast_model_config
+
+        # bf16 compute + flash attention on TPU (the reference's
+        # half_precision_weights default; the UNet is stop-gradient'd in SDS
+        # so the forward-only flash kernel is valid)
+        unet_cfg = tpu_fast_model_config(
+            unet_cfg, self.cfg.half_precision_weights
+        )
 
         sd = load_torch_state_dict(unet_file)
         lora_path = str(self.cfg.lora_model_name_or_path or "")
@@ -117,6 +125,8 @@ class StableDiffusionGuidance(BaseGuidance):
                 sd, use_linear_projection=unet_cfg.use_linear_projection
             ),
         )
+        if self.cfg.half_precision_weights:
+            params = cast_params_half(params)  # norms stay f32
         self._load_local_vae(path)
 
         def denoiser(noisy, t, key, emb):
@@ -165,10 +175,15 @@ class StableDiffusionGuidance(BaseGuidance):
         cfg_json = os.path.join(path, "vae", "config.json")
         if os.path.isfile(cfg_json):
             vae_cfg = vae_config_from_diffusers_json(cfg_json)
+        from ..diffusion.convert import cast_params_half, tpu_fast_model_config
+
+        vae_cfg = tpu_fast_model_config(vae_cfg, self.cfg.half_precision_weights)
         enc = VAEEncoder(vae_cfg)
         enc_params = jax.tree_util.tree_map(
             jnp.asarray, torch_vae_encoder_to_flax(load_torch_state_dict(vae_file))
         )
+        if self.cfg.half_precision_weights:
+            enc_params = cast_params_half(enc_params)
 
         def encode_rgb(rgb, key):
             # rgb (B, H, W, 3) in [0, 1] -> scaled latents (B, H/8, W/8, C)

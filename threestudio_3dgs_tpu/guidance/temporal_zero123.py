@@ -88,6 +88,9 @@ class TemporalZero123Config:
     max_step_percent: Any = 0.98
     grad_clip: Any = None
     num_frames: int = 14
+    # bf16 UNet/VAE compute on TPU (the reference runs the zero123 stack
+    # half-precision under vram_O); norms/softmax stay f32
+    half_precision_weights: bool = True
 
 
 class _TemporalZero123Base(BaseGuidance):
@@ -236,18 +239,28 @@ class _TemporalZero123Base(BaseGuidance):
         (whatever checkpoint format they came from)."""
         from ..diffusion import ZERO123_UNET, UNet2DCondition, torch_unet_to_flax
         from ..diffusion.convert import (
+            cast_params_half,
             infer_unet_config_from_state_dict,
             infer_vae_config_from_state_dict,
             torch_vae_encoder_to_flax,
+            tpu_fast_model_config,
         )
         from ..diffusion.vae import SD_VAE, VAEEncoder
 
+        half = bool(getattr(self.cfg, "half_precision_weights", True))
         unet_cfg = infer_unet_config_from_state_dict(unet_sd, ZERO123_UNET)
         vae_cfg = infer_vae_config_from_state_dict(vae_sd, SD_VAE)
+        # bf16 compute + flash attention on TPU (forward-only flash is valid:
+        # SDS stop-gradients the denoiser; the VAE encode IS differentiated
+        # but uses the einsum attention path -- single mid-block layer)
+        unet_cfg = tpu_fast_model_config(unet_cfg, half)
+        vae_cfg = tpu_fast_model_config(vae_cfg, half)
         enc = VAEEncoder(vae_cfg)
         enc_params = jax.tree_util.tree_map(
             jnp.asarray, torch_vae_encoder_to_flax(vae_sd)
         )
+        if half:
+            enc_params = cast_params_half(enc_params)
 
         def vae_mode(rgb):
             # zero123 c_concat = unscaled posterior MODE of the cond image
@@ -277,6 +290,8 @@ class _TemporalZero123Base(BaseGuidance):
                 unet_sd, use_linear_projection=unet_cfg.use_linear_projection
             ),
         )
+        if half:
+            params = cast_params_half(params)  # norms stay f32
 
         def denoiser(noisy, t, key, frame_idx, cam_emb):
             b = noisy.shape[0]

@@ -53,13 +53,17 @@ class RendererConfig:
     # tile rows; see ops/rasterizer/api.py::rasterize_batched); falls back to
     # the per-view loop for renderers that override render_one
     batched: bool = True
-    # engage the single-pass path only while the per-view pair capacity is
-    # small: its B*cap shared-pool sorts outgrow the dispatch savings at
-    # training scale (measured round 3: B=4 @256^2 100k gaussians, loop
-    # 63.7 ms vs batched 72.4 ms; same direction at 512^2).  Small scenes /
-    # early training (the adaptive capacity's lower buckets) still win from
-    # amortizing B dispatches into one
-    batched_max_pairs: int = 262144
+    # Memory guard on the single-pass path's B*cap shared pool.  The
+    # round-5 A/B (scripts/profile_batched_vmap.py, clean scan-chained
+    # timing after the round-4 advisor's warm-up fix) reverses round 3's
+    # loop-wins conclusion at BOTH measured scales: B=4 @512^2 -- 100k
+    # gaussians/cap 256k: tall-grid 50.9 ms vs loop 69.3 vs vmap-segmented
+    # 89.5; 1M gaussians/cap 768k: tall 191.5 vs loop 240.3 vs vmap 344.7.
+    # (Round 3's numbers were inflated per-variant by a retrace inside the
+    # timed region.)  The tall-grid batched path is therefore the default
+    # everywhere it fits; this cap only bounds pool memory (B*cap rows x
+    # ~50 B: 4x2M = 400 MB, fine in 16 GB HBM).
+    batched_max_pairs: int = 2 * 1024 * 1024
 
 
 class GaussianRendererBase:
@@ -309,8 +313,9 @@ class GaussianRendererBase:
         # fast path: the whole camera batch in ONE rasterizer pipeline pass
         # (views stacked as tile rows; ops/rasterizer/api.py).  Renderers
         # that override render_one (sugar/spacetime) keep the per-view loop.
-        # At large per-view pair capacities the shared-pool sorts cost more
-        # than B dispatches save (see cfg.batched_max_pairs).
+        # The tall-grid pass wins at every measured training scale (round-5
+        # A/B in cfg.batched_max_pairs's comment); the cap only bounds the
+        # B*cap shared-pool memory.
         per_view_cap = self.max_pairs_override or self.cfg.max_pairs
         use_batched = (
             self.cfg.batched
