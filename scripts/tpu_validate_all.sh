@@ -42,6 +42,9 @@ echo "log -> $LOG"
   echo "=== render-quality floor (Pallas vs oracle PSNR) ==="
   RUN_ON_TPU=1 timeout 1700 python -m pytest tests/test_quality_regression.py -x -q -s
 
+  echo "=== all-packs error ledger (packed-vs-exact end to end) ==="
+  RUN_ON_TPU=1 timeout 1700 python -m pytest tests/test_pack_ledger.py -x -q -s
+
   echo "=== kernel parity on hardware (compiled-mode atol 5e-4) ==="
   RUN_ON_TPU=1 timeout 1700 python -m pytest tests/test_blend_pallas.py -q
 } 2>&1 | tee "$LOG"

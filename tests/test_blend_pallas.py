@@ -106,75 +106,3 @@ def test_backward_parity(seed):
     np.testing.assert_allclose(
         np.asarray(got) / scale, np.asarray(ref) / scale, atol=ATOL
     )
-
-
-# ---------------------------------------------------------------------------
-# Per-quadrant compacted backward (round-4 kernel)
-# ---------------------------------------------------------------------------
-
-from threestudio_3dgs_tpu.ops.rasterizer.blend_quadrant_pallas import (  # noqa: E402
-    blend_backward_quadrant_pallas,
-)
-
-
-@pytest.mark.parametrize("seed", [0, 5])
-def test_backward_quadrant_parity(seed):
-    ts = 16
-    pair_feats, ranges, gx, gy, c = build_blend_inputs(seed=seed, tile_size=ts)
-    out = blend_jax.blend_forward(pair_feats, ranges, gx, gy, ts, c)
-    rng = np.random.default_rng(seed)
-    g = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
-    ref = blend_jax.blend_backward(pair_feats, ranges, out, g, gx, gy, ts, c)
-    got = blend_backward_quadrant_pallas(
-        pair_feats, ranges, out, g, gx, gy, ts, c, interpret=INTERPRET
-    )
-    scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
-    np.testing.assert_allclose(
-        np.asarray(got) / scale, np.asarray(ref) / scale, atol=ATOL
-    )
-
-
-def test_backward_quadrant_parity_alpha_clamp():
-    ts = 16
-    pair_feats, ranges, gx, gy, c = build_blend_inputs(
-        n=200, seed=5, tile_size=ts, opacity_hi=0.999
-    )
-    out = blend_jax.blend_forward(pair_feats, ranges, gx, gy, ts, c)
-    rng = np.random.default_rng(7)
-    g = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
-    ref = blend_jax.blend_backward(pair_feats, ranges, out, g, gx, gy, ts, c)
-    got = blend_backward_quadrant_pallas(
-        pair_feats, ranges, out, g, gx, gy, ts, c, interpret=INTERPRET
-    )
-    scale = max(float(jnp.max(jnp.abs(ref))), 1e-3)
-    np.testing.assert_allclose(
-        np.asarray(got) / scale, np.asarray(ref) / scale, atol=ATOL
-    )
-
-
-from threestudio_3dgs_tpu.ops.rasterizer.blend_quadrant_pallas import (  # noqa: E402
-    blend_forward_quadrant_pallas,
-)
-
-
-@pytest.mark.parametrize("seed", [0, 5])
-def test_forward_quadrant_parity(seed):
-    ts = 16
-    pair_feats, ranges, gx, gy, c = build_blend_inputs(seed=seed, tile_size=ts)
-    ref = blend_jax.blend_forward(pair_feats, ranges, gx, gy, ts, c)
-    out = blend_forward_quadrant_pallas(
-        pair_feats, ranges, gx, gy, ts, c, interpret=INTERPRET
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=ATOL)
-
-
-def test_forward_quadrant_parity_early_termination():
-    ts = 16
-    pair_feats, ranges, gx, gy, c = build_blend_inputs(
-        n=200, seed=5, tile_size=ts, opacity_hi=0.999
-    )
-    ref = blend_jax.blend_forward(pair_feats, ranges, gx, gy, ts, c)
-    out = blend_forward_quadrant_pallas(
-        pair_feats, ranges, gx, gy, ts, c, interpret=INTERPRET
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=ATOL)

@@ -127,6 +127,9 @@ class StableDiffusionGuidance(BaseGuidance):
         )
         if self.cfg.half_precision_weights:
             params = cast_params_half(params)  # norms stay f32
+        # exposed so callers (scripts/ingest_weights.py) can size prompt
+        # embeddings to the checkpoint's context width
+        self._ctx_dim = unet_cfg.cross_attention_dim
         self._load_local_vae(path)
 
         def denoiser(noisy, t, key, emb):

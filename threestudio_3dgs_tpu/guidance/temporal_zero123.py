@@ -91,6 +91,10 @@ class TemporalZero123Config:
     # bf16 UNet/VAE compute on TPU (the reference runs the zero123 stack
     # half-precision under vram_O); norms/softmax stay f32
     half_precision_weights: bool = True
+    # zero123 conditioning resolution (the reference hard-codes 256,
+    # reference guidance/temporal_zero123_guidance.py:207-215); tiny test
+    # checkpoints override for CPU-sized attention
+    cond_image_size: int = 256
 
 
 class _TemporalZero123Base(BaseGuidance):
@@ -212,9 +216,14 @@ class _TemporalZero123Base(BaseGuidance):
             os.path.join(os.path.dirname(path), "image_encoder"), frames
         )
         if clip_embs is None:
+            # stand-in embeddings sized from the checkpoint's own
+            # cc_projection (in = clip_dim + 4 camera channels)
+            clip_dim = cc_w.shape[0] - 4 if cc_w is not None else 768
             rng = np.random.default_rng(0)
             clip_embs = (
-                rng.standard_normal((frames.shape[0], 768)).astype(np.float32)
+                rng.standard_normal((frames.shape[0], clip_dim)).astype(
+                    np.float32
+                )
                 * 0.1
             )
         self._build_denoiser(
@@ -262,10 +271,12 @@ class _TemporalZero123Base(BaseGuidance):
         if half:
             enc_params = cast_params_half(enc_params)
 
+        csz = int(getattr(self.cfg, "cond_image_size", 256))
+
         def vae_mode(rgb):
             # zero123 c_concat = unscaled posterior MODE of the cond image
             x = jax.image.resize(
-                rgb * 2.0 - 1.0, (rgb.shape[0], 256, 256, 3), "bilinear"
+                rgb * 2.0 - 1.0, (rgb.shape[0], csz, csz, 3), "bilinear"
             )
             moments = enc.apply(enc_params, x)
             return moments[..., : moments.shape[-1] // 2]
@@ -315,7 +326,7 @@ class _TemporalZero123Base(BaseGuidance):
             from ..diffusion.vae import sample_latents
 
             x = jax.image.resize(
-                rgb * 2.0 - 1.0, (rgb.shape[0], 256, 256, 3), "bilinear"
+                rgb * 2.0 - 1.0, (rgb.shape[0], csz, csz, 3), "bilinear"
             )
             moments = enc.apply(enc_params, x)
             return sample_latents(moments, key, vae_cfg.scaling_factor)

@@ -63,13 +63,6 @@ def _blend_fwd_impl(
     view_grid_y=0,
 ):
     if impl == "pallas":
-        if QUADRANT_FWD and tile_size % 2 == 0 and (tile_size // 2) ** 2 >= 8:
-            from .blend_quadrant_pallas import blend_forward_quadrant_pallas
-
-            return blend_forward_quadrant_pallas(
-                pair_feats, tile_ranges, grid_x, grid_y, tile_size,
-                n_channels, view_grid_y=view_grid_y,
-            )
         from .blend_pallas import blend_forward_pallas
 
         return blend_forward_pallas(
@@ -93,33 +86,20 @@ def _blend_fwd(
     return out, (pair_feats, tile_ranges, out)
 
 
-# Per-quadrant compacted blend kernels (blend_quadrant_pallas): ~0.35x
-# touched elements on the bench scene (scripts/probe_quadrants.py), and an
-# order of magnitude tighter agreement with the XLA twin (the whole-tile
-# kernels' monomial power matmul can flip the discontinuous power<=0 gate
-# at high-opacity centers; quadrant-local origins shrink the cancellation).
-# MEASURED round 4 (scripts/profile_quadrant_blend.py + bench.py A/B): the
-# blend stages are bound by per-block walk costs, not element count, so the
-# compaction wins no wall-clock (bench 79.96 vs 79.87 ms) -- default OFF;
-# enable for the accuracy margin.
-import os as _os
-
-QUADRANT_BWD = _os.environ.get("THREESTUDIO_TPU_QUADRANT_BWD", "0") != "0"
-QUADRANT_FWD = _os.environ.get("THREESTUDIO_TPU_QUADRANT_FWD", "0") != "0"
+# Per-quadrant compacted blend kernels: built and measured round 4, DELETED
+# round 5.  The probe data stands (scripts/probe_quadrants.py: ~0.35x
+# touched elements) but the blend stages are walk-bound, not element-bound
+# (bench 79.96 vs 79.87 ms), and the ~8.6e-4-vs-1.2e-1 outlier margin is a
+# discrete power<=0 gate-flip class already budgeted by the quality floor
+# (tests/test_quality_regression.py ALPHA_MAX_ERR) and the all-packs ledger.
+# A default-OFF twin of the hottest kernel was pure drift risk -- see
+# PERF.md "Round-5 quadrant kernel decision" and git history (b6c8fad) for
+# the kernel.
 
 
 def _blend_bwd(grid_x, grid_y, tile_size, n_channels, impl, view_grid_y, res, g_out):
     pair_feats, tile_ranges, out = res
     if impl == "pallas":
-        if QUADRANT_BWD and tile_size % 2 == 0 and (tile_size // 2) ** 2 >= 8:
-            from .blend_quadrant_pallas import blend_backward_quadrant_pallas
-
-            d_feats = blend_backward_quadrant_pallas(
-                pair_feats, tile_ranges, out, g_out, grid_x, grid_y,
-                tile_size, n_channels, view_grid_y=view_grid_y,
-            )
-            zero_int = np.zeros(tile_ranges.shape, jax.dtypes.float0)
-            return (d_feats, zero_int)
         from .blend_pallas import blend_backward_pallas
 
         d_feats = blend_backward_pallas(
