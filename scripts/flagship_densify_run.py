@@ -38,12 +38,16 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--pool", type=int, default=24)
     ap.add_argument("--guidance", default="fake",
-                    choices=["fake", "analytic"],
+                    choices=["fake", "analytic", "analytic-mse"],
                     help="fake = solid-color SDS target; analytic = "
                          "multi-view-consistent ray-traced snowman targets "
                          "(structured geometry, round-5 verdict item 4)")
     ap.add_argument("--tag", default="flagship_512",
                     help="output basename under docs/demo/")
+    ap.add_argument("--max-pairs", type=int, default=4 * 1024 * 1024,
+                    help="adaptive pair-capacity CEILING per view")
+    ap.add_argument("--densify-interval", type=int, default=50)
+    ap.add_argument("--densify-threshold", type=float, default=0.0002)
     ap.add_argument("--densify-until", type=int, default=0,
                     help="stop densify/prune here (0 = steps-50); later "
                          "steps refine in place")
@@ -72,40 +76,71 @@ def main():
                 "max_num": args.cap,
                 "capacity": args.cap,
                 "densify_from_iter": 50,
-                "densification_interval": 50,
+                "densification_interval": args.densify_interval,
                 "densify_until_iter": args.densify_until or args.steps - 50,
                 "prune_from_iter": 50,
-                "prune_interval": 50,
+                "prune_interval": args.densify_interval,
                 "prune_until_iter": args.densify_until or args.steps - 50,
-                "densify_grad_threshold": 0.0002,
+                "densify_grad_threshold": args.densify_threshold,
                 "min_opac_prune": 0.005,
             },
             "renderer_type": "diff-gaussian-rasterizer-advanced",
             "renderer": {
+                # max_pairs is the adaptive controller's CEILING (growth
+                # clamps here): at 512k gaussians @512^2 the per-view pair
+                # demand runs to millions -- a 256k ceiling silently drops
+                # pairs every step and looks like bad convergence (the
+                # round-5 v1-v3 flagship artifacts)
                 "tile_size": 32,
-                "max_pairs": 256 * 1024,
+                "max_pairs": args.max_pairs,
                 "adaptive_max_pairs": True,
                 "impl": "pallas" if jax.default_backend() != "cpu" else "jax",
             },
             "guidance_type": (
                 "analytic-scene-sds-guidance"
-                if args.guidance == "analytic"
+                if args.guidance.startswith("analytic")
                 else "fake-sds-guidance"
             ),
             "guidance": (
-                # anneal the SDS timestep ceiling like the reference flagship
-                # (high-t noise early for coverage, low-t refinement late)
-                {"max_step_percent": [0, 0.98, 0.5, args.steps // 2]}
+                # mse = straight multi-view image-target fitting (clean
+                # geometry); sds routes the same targets through the
+                # annealed SDS plumbing (reference flagship schedule).
+                # bg_color MUST match the TRAINING background the renderer
+                # composites over -- WHITE by the reference's quirk
+                # (invert_bg_prob 1.0 never inverts in training, eval always
+                # inverts to black; diff_gaussian_rasterizer.py:59-64).  A
+                # black-bg target over a white training bg teaches the model
+                # to build dark curtain gaussians everywhere (the round-5
+                # v1-v5 fog).
+                {"mode": "mse", "bg_color": [1.0, 1.0, 1.0]}
+                if args.guidance == "analytic-mse"
+                else {"max_step_percent": [0, 0.98, 0.5, args.steps // 2],
+                      "bg_color": [1.0, 1.0, 1.0]}
                 if args.guidance == "analytic"
                 else {"target_color": [0.85, 0.3, 0.1]}
             ),
-            "loss": {
-                "lambda_sds": 1.0,
-                "lambda_position": 1.0,
-                "lambda_opacity": 0.0005,
-                "lambda_scales": 0.0005,
-                "lambda_tv_loss": 1.0,
-            },
+            "loss": (
+                # reconstruction mode: the SDS-era regularizers actively
+                # fight a precise MSE fit (under Adam a constant-direction
+                # position/opacity reg gradient is normalized to a FULL
+                # lr-sized step, dragging converged gaussians off their
+                # surfaces every iteration)
+                {
+                    "lambda_sds": 1.0,
+                    "lambda_position": 0.0,
+                    "lambda_opacity": 0.0,
+                    "lambda_scales": 0.0005,
+                    "lambda_tv_loss": 0.0,
+                }
+                if args.guidance == "analytic-mse"
+                else {
+                    "lambda_sds": 1.0,
+                    "lambda_position": 1.0,
+                    "lambda_opacity": 0.0005,
+                    "lambda_scales": 0.0005,
+                    "lambda_tv_loss": 1.0,
+                }
+            ),
         }
     )
     state = system.init_state(0)
@@ -193,7 +228,7 @@ def main():
     eval_cfg = RandomCameraDataModuleConfig(
         batch_size=args.b, height=args.res, width=args.res,
         eval_height=args.res, eval_width=args.res,
-        n_val_views=4, eval_camera_distance=1.8, eval_elevation_deg=15.0,
+        n_val_views=4, eval_camera_distance=1.5, eval_elevation_deg=15.0,
     )
     views = fixed_circle_views(eval_cfg, "val")
     outs = system.render_views(state, views)
@@ -203,11 +238,47 @@ def main():
         axis=0,
     )
     img8 = (grid * 255).astype(np.uint8)
+    # plus one render from a training-distribution camera (diagnoses
+    # geometry-vs-eval-path discrepancies)
+    raw = sampler.sample()
+    raw["index"] = 0
+    tout = system.render_views(state, [raw])[0]
+    timg = (np.clip(np.asarray(tout["comp_rgb"][0]), 0, 1) * 255).astype(np.uint8)
+
+    # turntable GIF (24 views around the azimuth circle at eval res 256)
+    gif_cfg = RandomCameraDataModuleConfig(
+        batch_size=args.b, height=args.res, width=args.res,
+        eval_height=256, eval_width=256, n_val_views=24,
+        eval_camera_distance=1.5, eval_elevation_deg=15.0,
+    )
+    gviews = fixed_circle_views(gif_cfg, "val")
+    gouts = system.render_views(state, gviews)
+    gframes = [
+        (np.clip(np.asarray(o["comp_rgb"][0]), 0, 1) * 255).astype(np.uint8)
+        for o in gouts
+    ]
+
+    # final PLY (the trained point cloud is the run's durable artifact)
+    try:
+        system.geometry.save_ply(
+            state.gauss, os.path.join(_DEMO, f"{args.tag}.ply")
+        )
+        print(f"ply -> {os.path.join(_DEMO, args.tag + '.ply')}")
+    except Exception as e:  # PLY export is best-effort in the demo script
+        print(f"(ply export skipped: {type(e).__name__}: {e})")
     try:
         from PIL import Image
 
         Image.fromarray(img8).save(os.path.join(_DEMO, f"{args.tag}.png"))
-        print(f"render -> {os.path.join(_DEMO, args.tag + '.png')}")
+        Image.fromarray(timg).save(os.path.join(_DEMO, f"{args.tag}_train_cam.png"))
+        Image.fromarray(gframes[0]).save(
+            os.path.join(_DEMO, f"{args.tag}.gif"),
+            save_all=True,
+            append_images=[Image.fromarray(f) for f in gframes[1:]],
+            duration=120,
+            loop=0,
+        )
+        print(f"render -> {os.path.join(_DEMO, args.tag + '.png')} (+_train_cam, .gif)")
     except ImportError:
         np.save(os.path.join(_DEMO, f"{args.tag}.npy"), img8)
         print(f"render -> {os.path.join(_DEMO, args.tag + '.npy')} (no PIL)")

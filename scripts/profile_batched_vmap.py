@@ -83,10 +83,41 @@ def vmap_loss(ms, sc, qt, op, co):
     return jnp.sum(losses)
 
 
+# FAIRNESS (round-5 correction): rasterize_batched's max_pairs is the
+# GLOBAL pool shared by all views (api.py docstring), while the loop/vmap
+# variants get args.cap PER VIEW.  The tall variant must therefore run at a
+# B*cap pool -- the first round-5 measurement passed the same config to all
+# three and handed tall a 4x-smaller capacity (it dropped pairs wholesale
+# and "won" partly by rendering less work).  Note the packed tile key bounds
+# the pool: pair_bits(B*cap) + tile_bits(B*tiles) <= 31, so B=4 @512^2 is
+# only feasible up to 256k/view.
+cfg_pool = RasterizeConfig(
+    tile_size=32, max_pairs=args.cap * B,
+    impl="jax" if args.cpu else "pallas",
+)
+
+
 def tall_loss(ms, sc, qt, op, co):
-    outs = rasterize_batched(ms, sc, qt, op, cams, bg, colors=co, config=cfg,
-                             with_depth=False)
+    outs = rasterize_batched(ms, sc, qt, op, cams, bg, colors=co,
+                             config=cfg_pool, with_depth=False)
     return jnp.sum(outs["image"] ** 2)
+
+
+def report_drops():
+    """Validity check: a variant that drops pairs is rendering less work."""
+    out1 = rasterize(*p[:4], cams[0], bg, colors=p[4], config=cfg,
+                     with_depth=False)
+    outB = rasterize_batched(*p[:4], cams, bg, colors=p[4], config=cfg_pool,
+                             with_depth=False)
+    import numpy as _np
+
+    print(
+        f"drops: per-view {int(_np.asarray(out1['n_dropped']))} "
+        f"(demand {int(_np.asarray(out1['n_pairs'] + out1['n_dropped']))}/{args.cap})  "
+        f"tall-pool {int(_np.asarray(outB['n_dropped']))} "
+        f"(demand {int(_np.asarray(outB['n_pairs'] + outB['n_dropped']))}/{args.cap * B})",
+        flush=True,
+    )
 
 
 def chain(loss):
@@ -124,6 +155,7 @@ def timed(label, fn):
 
 if __name__ == "__main__":
     print(f"backend={jax.default_backend()}  B={B} res={res} n={n} cap={args.cap}")
+    report_drops()
     results = {}
     results["loop"] = timed("per-view loop         ", chain(loop_loss))
     try:
