@@ -102,6 +102,40 @@ def test_batched_grads_match_loop():
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * scale)
 
 
+def test_key_fits_gate_falls_back_to_loop():
+    """Above the packed tile-sort key's capacity (pair_bits + tile_bits <= 31,
+    ops/rasterizer/binning.py:154-158) the batched pass must fall back to the
+    per-view loop instead of tripping the binning assert (round-5 decision,
+    PERF.md batched-path section)."""
+    geo, gauss = _make_geometry()
+    r = find("diff-gaussian-rasterizer")(
+        dict(tile_size=8, max_pairs=131072, impl="jax",
+             batched=True, batched_max_pairs=256 * 1024),
+        geometry=geo,
+    )
+    # B=4 @256^2, tile 8: 4*1024 tiles -> 13 tile bits; 4*131072 pool -> 19
+    # pair bits; 32 > 31 -> must not take the batched pass
+    assert not r._batched_key_fits(4, 131072, 256, 256)
+    # the production flagship shape that previously crashed: B=4 @512^2,
+    # tile 32, 2M/view cap -> 23 + 11 bits
+    assert not r._batched_key_fits(4, 2 * 1024 * 1024, 512, 512)
+    # small shapes keep the batched pass
+    assert r._batched_key_fits(3, 16384, 32, 32)
+
+    batch = _make_batch(bs=4, height=256, width=256)
+    out = r.batch_forward(gauss, batch, key=None, training=False)  # no crash
+    assert out["comp_rgb"].shape == (4, 256, 256, 3)
+    # and it agrees with the explicit loop (it IS the loop)
+    r_loop = find("diff-gaussian-rasterizer")(
+        dict(tile_size=8, max_pairs=131072, impl="jax", batched=False),
+        geometry=geo,
+    )
+    out_l = r_loop.batch_forward(gauss, batch, key=None, training=False)
+    np.testing.assert_array_equal(
+        np.asarray(out["comp_rgb"]), np.asarray(out_l["comp_rgb"])
+    )
+
+
 def test_spacetime_batched_equals_loop():
     """The spacetime renderer's batched hook evaluates per-view TIMED
     attributes; batched == loop bit-for-bit."""

@@ -53,17 +53,18 @@ class RendererConfig:
     # tile rows; see ops/rasterizer/api.py::rasterize_batched); falls back to
     # the per-view loop for renderers that override render_one
     batched: bool = True
-    # Memory guard on the single-pass path's B*cap shared pool.  The
-    # round-5 A/B (scripts/profile_batched_vmap.py, clean scan-chained
-    # timing after the round-4 advisor's warm-up fix) reverses round 3's
-    # loop-wins conclusion at BOTH measured scales: B=4 @512^2 -- 100k
-    # gaussians/cap 256k: tall-grid 50.9 ms vs loop 69.3 vs vmap-segmented
-    # 89.5; 1M gaussians/cap 768k: tall 191.5 vs loop 240.3 vs vmap 344.7.
-    # (Round 3's numbers were inflated per-variant by a retrace inside the
-    # timed region.)  The tall-grid batched path is therefore the default
-    # everywhere it fits; this cap only bounds pool memory (B*cap rows x
-    # ~50 B: 4x2M = 400 MB, fine in 16 GB HBM).
-    batched_max_pairs: int = 2 * 1024 * 1024
+    # Per-view capacity bound on the single-pass path's B*cap shared pool.
+    # The FAIR round-5 A/B (scripts/profile_batched_vmap.py, equal-capacity
+    # pools with zero drops asserted on both sides -- an earlier measurement
+    # that handed the tall grid 1/4 capacity is retracted in PERF.md) at
+    # B=4 @512^2, 100k gaussians, cap 256k/view: per-view loop 69.3 ms,
+    # tall-grid 71.8, vmap-segmented 89.0.  A wash at this boundary, and
+    # above it the packed tile-sort key (tile << pair_bits | p,
+    # ops/rasterizer/binning.py:154-158) cannot represent the B*cap pool
+    # (pair_bits + tile_bits <= 31) -- see _batched_key_fits.  The batched
+    # pass therefore serves small/early-training capacities, where its
+    # dispatch amortization pays; the loop is the path at training scale.
+    batched_max_pairs: int = 256 * 1024
 
 
 class GaussianRendererBase:
@@ -72,6 +73,24 @@ class GaussianRendererBase:
     Config = RendererConfig
     max_pairs_override: Optional[int] = None
     supports_batched = True  # single-pass whole-batch rendering available
+
+    def _batched_key_fits(self, bs: int, per_view_cap: int,
+                          height: int, width: int) -> bool:
+        """Whether the packed tile-sort key can represent the batched pass.
+
+        The tile sort packs (tile << pair_bits | p) into one int32
+        (ops/rasterizer/binning.py:154-158,318), which needs
+        pair_bits + tile_bits <= 31.  The batched pass shares a bs*cap pair
+        pool over bs*grid tiles, so e.g. B=4 @512^2 with a 2M/view cap needs
+        23 + 11 bits and cannot run; fall back to the per-view loop (whose
+        per-view capacity keeps the key small) instead of crashing the
+        binning assert."""
+        ts = self.cfg.tile_size
+        grid = ((width + ts - 1) // ts) * ((height + ts - 1) // ts)
+        num_tiles = bs * grid
+        pair_bits = max(int(bs * per_view_cap - 1).bit_length(), 1)
+        tile_bits = int(num_tiles).bit_length()
+        return pair_bits + tile_bits <= 31
     with_depth = False
     with_mask = False
     with_normal = False
@@ -313,15 +332,17 @@ class GaussianRendererBase:
         # fast path: the whole camera batch in ONE rasterizer pipeline pass
         # (views stacked as tile rows; ops/rasterizer/api.py).  Renderers
         # that override render_one (sugar/spacetime) keep the per-view loop.
-        # The tall-grid pass wins at every measured training scale (round-5
-        # A/B in cfg.batched_max_pairs's comment); the cap only bounds the
-        # B*cap shared-pool memory.
+        # At the measured capacity boundary the two paths are a wash (see
+        # cfg.batched_max_pairs); beyond it the packed tile-sort key cannot
+        # represent the B*cap pool, so _batched_key_fits falls back to the
+        # loop instead of tripping the binning assert.
         per_view_cap = self.max_pairs_override or self.cfg.max_pairs
         use_batched = (
             self.cfg.batched
             and bs > 1
             and self.supports_batched
             and per_view_cap <= self.cfg.batched_max_pairs
+            and self._batched_key_fits(bs, per_view_cap, height, width)
         )
         if use_batched:
             return self._batch_forward_batched(
